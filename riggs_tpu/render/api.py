@@ -1,0 +1,112 @@
+"""High-level render entry point: Gaussians (+ deformation residuals) -> image.
+
+Mirrors the reference render() contract (/root/reference/gaussian_renderer/
+__init__.py:37-151): residual application (d_xyz / d_rotation / d_scaling /
+d_opacity / d_color), SH -> RGB with active-degree warmup, motion-mask debug
+rendering, override colors, per-attribute stop-gradients, scale_const mode,
+quaternion bias composition, and random background — emitting image / depth /
+alpha / radii / visibility plus screen-space mean gradients for densification.
+
+The screen-space gradient trick differs from torch: instead of a dummy tensor
+with retain_grad, pass ``mean2d_bias`` (zeros (N,2)) and differentiate the
+loss wrt it — projection adds it to the projected means so its cotangent IS
+dL/d(mean2d).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from riggs_tpu.camera.camera import Camera, camera_center
+from riggs_tpu.models.gaussians import Gaussians
+from riggs_tpu.ops.quaternion import quat_multiply, quat_normalize
+from riggs_tpu.ops.sh import eval_sh
+from riggs_tpu.render import tiles as _tiles
+from riggs_tpu.render import oracle as _oracle
+from riggs_tpu.render.project import build_cov3d
+
+
+def render(
+    cam: Camera,
+    gs: Gaussians,
+    bg: jax.Array,
+    d_xyz: jax.Array | float = 0.0,
+    d_rotation: jax.Array | float = 0.0,
+    d_scaling: jax.Array | float = 0.0,
+    d_opacity: jax.Array | None = None,
+    d_color: jax.Array | None = None,
+    active_sh_degree: int = 0,
+    scaling_modifier: float = 1.0,
+    override_color: jax.Array | None = None,
+    render_motion: bool = False,
+    detach_xyz: bool = False,
+    detach_scale: bool = False,
+    detach_rot: bool = False,
+    detach_opacity: bool = False,
+    scale_const: float | None = None,
+    d_rotation_bias: jax.Array | None = None,
+    mean2d_bias: jax.Array | None = None,
+    rasterizer: str = "tiled",
+    max_per_tile: int = 1024,
+) -> dict[str, Any]:
+    means3d = gs.xyz + d_xyz
+    if scale_const is not None:
+        opacity = jnp.ones_like(gs.get_opacity)
+    else:
+        opacity = gs.get_opacity if d_opacity is None else gs.get_opacity + d_opacity
+
+    scales = gs.get_scaling + d_scaling
+    rotations = quat_normalize(gs.rotation + d_rotation)
+    if d_rotation_bias is not None:
+        rotations = quat_multiply(d_rotation_bias, rotations)
+
+    if render_motion:
+        mm = gs.motion_mask
+        colors = jnp.concatenate([mm, jnp.zeros_like(mm), 1.0 - mm], axis=-1)
+    elif override_color is not None:
+        colors = override_color
+    else:
+        feats = gs.get_features
+        if d_color is not None:
+            feats = jnp.concatenate([feats[:, :1] + d_color[:, None], feats[:, 1:]], axis=1)
+        dirs = means3d - camera_center(cam)
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        colors = jnp.maximum(eval_sh(active_sh_degree, feats, dirs) + 0.5, 0.0)
+
+    if detach_xyz:
+        means3d = jax.lax.stop_gradient(means3d)
+    if detach_rot:
+        rotations = jax.lax.stop_gradient(rotations)
+    if detach_scale:
+        scales = jax.lax.stop_gradient(scales)
+    if detach_opacity:
+        opacity = jax.lax.stop_gradient(opacity)
+    if scale_const is not None:
+        scales = scale_const * jnp.ones_like(scales)
+
+    fn = _tiles.rasterize_tiled if rasterizer == "tiled" else _oracle.rasterize_oracle
+    kwargs = dict(max_per_tile=max_per_tile) if rasterizer == "tiled" else {}
+    out = fn(
+        cam,
+        means3d,
+        colors,
+        opacity[:, 0],
+        scales,
+        rotations,
+        bg,
+        alive=gs.alive,
+        scale_modifier=scaling_modifier,
+        mean2d_bias=mean2d_bias,
+        **kwargs,
+    )
+    return {
+        "render": out["image"],
+        "visibility_filter": out["radii"] > 0,
+        "radii": out["radii"],
+        "depth": out["depth"],
+        "alpha": out["alpha"],
+        "bg_color": bg,
+        "overflow": out.get("overflow", jnp.zeros((), jnp.int32)),
+    }

@@ -67,6 +67,7 @@ def rasterize_oracle(
     scale_modifier: float = 1.0,
     cov3d: jax.Array | None = None,
     pixel_chunk: int = 1024,
+    mean2d_bias: jax.Array | None = None,
 ):
     """Render one view. colors: (N, 3) precomputed RGB; opacity: (N,) activated.
 
@@ -74,7 +75,7 @@ def rasterize_oracle(
     """
     if cov3d is None:
         cov3d = build_cov3d(scales, rotations, scale_modifier)
-    proj = project_gaussians(cam, means3d, cov3d, alive)
+    proj = project_gaussians(cam, means3d, cov3d, alive, mean2d_bias)
 
     order = jnp.argsort(jnp.where(proj.mask, proj.depth, jnp.inf))
     mean2d_s = proj.mean2d[order]

@@ -53,6 +53,7 @@ def project_gaussians(
     means3d: jax.Array,
     cov3d: jax.Array,
     alive: jax.Array | None = None,
+    mean2d_bias: jax.Array | None = None,
 ) -> Projected:
     """Project all Gaussians; cull those behind the near plane or off screen."""
     f32 = jnp.float32
@@ -102,6 +103,11 @@ def project_gaussians(
     mean2d = jnp.stack(
         [fx * tx * inv_z + cx - 0.5, fy * ty * inv_z + cy - 0.5], -1
     )
+    if mean2d_bias is not None:
+        # zeros passed by the caller; its gradient cotangent is dL/d(mean2d),
+        # feeding the densification statistics (replaces torch retain_grad on
+        # the dummy screenspace_points tensor).
+        mean2d = mean2d + mean2d_bias
 
     on_screen = (
         (mean2d[:, 0] + radius > 0)

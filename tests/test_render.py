@@ -1,0 +1,113 @@
+"""Parity tests: tiled fast-path rasterizer vs the exact oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riggs_tpu.camera import make_camera
+from riggs_tpu.render.oracle import rasterize_oracle
+from riggs_tpu.render.tiles import rasterize_tiled
+from riggs_tpu.render.project import build_cov3d, project_gaussians
+
+
+def make_scene(rng, n=200, seed_extent=1.0):
+    means = rng.normal(size=(n, 3)).astype(np.float32) * seed_extent
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.5, -2.0, size=(n, 3))).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    rots = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return tuple(map(jnp.asarray, (means, colors, opacity, scales, rots)))
+
+
+@pytest.fixture
+def cam():
+    return make_camera(np.eye(3), np.array([0, 0, 3.0]), 64, 64, fovx=1.0, fovy=1.0)
+
+
+class TestTiledParity:
+    def test_image_matches_oracle(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg)
+        assert int(b["overflow"]) == 0
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+        np.testing.assert_allclose(a["alpha"], b["alpha"], atol=2e-5)
+        np.testing.assert_allclose(a["depth"], b["depth"], atol=1e-4)
+
+    def test_grads_match_oracle(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng, n=60)
+        bg = jnp.zeros(3)
+        target = jnp.zeros((64, 64, 3)) + 0.5
+
+        def loss(fn, m, o, s):
+            out = fn(cam, m, colors, o, s, rots, bg)
+            return jnp.mean((out["image"] - target) ** 2)
+
+        g_o = jax.grad(loss, argnums=(1, 2, 3))(lambda *a, **k: rasterize_oracle(*a, **k), means, opacity, scales)
+        g_t = jax.grad(loss, argnums=(1, 2, 3))(lambda *a, **k: rasterize_tiled(*a, **k), means, opacity, scales)
+        for a, b, name in zip(g_o, g_t, ["means", "opacity", "scales"]):
+            np.testing.assert_allclose(a, b, atol=5e-5, err_msg=name)
+
+    def test_alive_mask(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng, n=50)
+        alive = jnp.arange(50) % 2 == 0
+        bg = jnp.zeros(3)
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg, alive=alive)
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, alive=alive)
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+
+    def test_nonsquare_image(self, rng):
+        cam = make_camera(np.eye(3), np.array([0, 0, 3.0]), 80, 48, fovx=1.0, fovy=0.7)
+        means, colors, opacity, scales, rots = make_scene(rng, n=100)
+        bg = jnp.array([1.0, 1.0, 1.0])
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg)
+        assert b["image"].shape == (48, 80, 3)
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+
+    def test_overflow_counter(self, rng, cam):
+        # tiny max_per_tile on a dense scene must report overflow
+        means, colors, opacity, scales, rots = make_scene(rng, n=500, seed_extent=0.1)
+        bg = jnp.zeros(3)
+        out = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, max_per_tile=128)
+        assert int(out["overflow"]) > 0
+
+    def test_finite_diff_composite(self, rng):
+        """Autodiff of the compositing core vs finite differences, away from the
+        non-smooth thresholds (1/255 cutoff, 0.99 clamp, 1e-4 early stop) that
+        make the full rasterizer only piecewise-smooth."""
+        from riggs_tpu.render.oracle import composite
+
+        n = 16
+        alphas0 = jnp.asarray(rng.uniform(0.05, 0.6, size=(4, n)).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+        depths = jnp.asarray(rng.uniform(1, 3, size=(n,)).astype(np.float32))
+
+        def loss(a):
+            rgb, dep, acc = composite(a, colors, depths)
+            return jnp.sum(rgb) + jnp.sum(dep) + jnp.sum(acc)
+
+        g = jax.grad(loss)(alphas0)
+        eps = 1e-2  # fp32: balance roundoff cancellation vs truncation
+        for idx in [(0, 0), (1, 7), (3, 15)]:
+            fd = (loss(alphas0.at[idx].add(eps)) - loss(alphas0.at[idx].add(-eps))) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=3e-2, atol=1e-4)
+
+
+class TestProjection:
+    def test_isotropic_radius(self, rng):
+        cam = make_camera(np.eye(3), np.array([0, 0, 2.0]), 100, 100, fovx=1.0, fovy=1.0)
+        s = 0.05
+        cov3d = build_cov3d(jnp.full((1, 3), s), jnp.array([[1.0, 0, 0, 0]]))
+        proj = project_gaussians(cam, jnp.array([[0.0, 0.0, 0.0]]), cov3d)
+        fx = 50.0 / np.tan(0.5)
+        expect = np.ceil(3 * np.sqrt((s * fx / 2.0) ** 2 + 0.3))
+        np.testing.assert_allclose(proj.radius[0], expect, atol=1.0)
+
+    def test_behind_camera_culled(self):
+        cam = make_camera(np.eye(3), np.array([0, 0, 2.0]), 64, 64, fovx=1.0, fovy=1.0)
+        cov3d = build_cov3d(jnp.full((1, 3), 0.1), jnp.array([[1.0, 0, 0, 0]]))
+        proj = project_gaussians(cam, jnp.array([[0.0, 0.0, -5.0]]), cov3d)
+        assert not bool(proj.mask[0])
