@@ -1,0 +1,93 @@
+"""Benchmark: differentiable-rasterizer fwd+bwd throughput at 800x800.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload mirrors the reference's training inner loop (BASELINE.md): one
+800x800 render of ~100k Gaussians, forward + full backward to means /
+scales / rotations / opacity / colors. Baseline constant: an A100 running
+the CUDA diff-gaussian-rasterization at this size spends ~10 ms on fwd+bwd
+(~64 Mpix/s); BASELINE.json's north star is >=2x that per chip.
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+A100_CUDA_PIXELS_PER_S = 64e6  # measured-order estimate, see module docstring
+
+
+def build_scene(n, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n, 3)).astype(np.float32) * 0.8
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.3, 0.95, size=(n,)).astype(np.float32)
+    scales = np.exp(rng.uniform(-5.5, -4.0, size=(n, 3))).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    rots = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return tuple(map(jnp.asarray, (means, colors, opacity, scales, rots)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--gaussians", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--max-per-tile", type=int, default=1024)
+    ap.add_argument("--platform", type=str, default=None, help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from riggs_tpu.camera import make_camera
+    from riggs_tpu.render.tiles import rasterize_tiled
+
+    cam = make_camera(
+        np.eye(3), np.array([0, 0, 2.5]), args.size, args.size, fovx=0.9, fovy=0.9
+    )
+    means, colors, opacity, scales, rots = build_scene(args.gaussians)
+    bg = jnp.zeros(3)
+
+    def loss_fn(means, colors, opacity, scales, rots):
+        out = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile
+        )
+        return jnp.mean(out["image"]) + jnp.mean(out["depth"]) * 0.0
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # warmup / compile
+    g = step(means, colors, opacity, scales, rots)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        g = step(means, colors, opacity, scales, rots)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    pixels_per_s = args.size * args.size * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_pixels_per_s_per_chip",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixels/s",
+                "vs_baseline": round(pixels_per_s / A100_CUDA_PIXELS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,15 @@ def project_points(cam: Camera, points: jax.Array) -> tuple[jax.Array, jax.Array
 def camera_center(cam: Camera) -> jax.Array:
     """World-space camera position: -R^T t of the w2c transform."""
     return -cam.w2c[:3, :3].T @ cam.w2c[:3, 3]
+
+
+def project_nodes_2d(cam: Camera, nodes: jax.Array) -> jax.Array:
+    """Project nodes to (row, col) pixel coordinates for the thinned-skeleton
+    chamfer loss. Matches /root/reference/utils/other_utils.py:101-127 exactly:
+    principal point at S/2 (no half-pixel shift) and (y, x) ordering to align
+    with np.argwhere of the thinned mask."""
+    view = world_to_view(cam.w2c, nodes)
+    z = jnp.maximum(view[..., 2], 1e-6)
+    px = cam.intrinsics[0] * view[..., 0] / z + cam.intrinsics[2]
+    py = cam.intrinsics[1] * view[..., 1] / z + cam.intrinsics[3]
+    return jnp.stack([py, px], -1)

@@ -151,3 +151,74 @@ def make_dataset(
         img = render_frame(fig, cam, fids[i] if dynamic else None)
         data.append((cam, img))
     return fig, data
+
+
+def make_scene_data(
+    n_train: int = 12,
+    n_test: int = 3,
+    n_cams: int = 8,
+    width: int = 96,
+    height: int = 96,
+    seed: int = 0,
+    max_thinned: int = 256,
+    n_init_points: int = 300,
+):
+    """A full SceneData with masks + thinned 2D skeletons, D-NeRF style."""
+    from riggs_tpu.data.dataset import Frame, SceneData, pad_thinned, thin_mask_skeleton
+    from riggs_tpu.ops.quaternion import quat_to_rotmat as _q2m  # noqa: F401 (parity cite)
+    from riggs_tpu.render.oracle import rasterize_oracle
+    from riggs_tpu.train.static import compute_scene_extent
+
+    fig = make_stick_figure(seed)
+    rng = np.random.default_rng(seed)
+    cams = ring_cameras(n_cams, width=width, image_height=height)
+
+    def build_frames(fids, cam_offset=0):
+        frames = []
+        for i, t in enumerate(fids):
+            cam = dataclasses.replace(
+                cams[(i + cam_offset) % n_cams], fid=jnp.asarray(t, jnp.float32)
+            )
+            pts = deform_points(fig, pose_at_time(fig, t))
+            n = pts.shape[0]
+            out = rasterize_oracle(
+                cam,
+                jnp.asarray(pts),
+                jnp.asarray(fig.colors),
+                jnp.asarray(fig.opacity),
+                jnp.asarray(fig.scales),
+                jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
+                jnp.zeros(3),
+            )
+            img = np.asarray(out["image"])
+            alpha = np.asarray(out["alpha"])
+            thinned = thin_mask_skeleton(alpha > 0.5)
+            tp, tm = pad_thinned(thinned, max_thinned)
+            frames.append(
+                Frame(
+                    cam=cam,
+                    image=jnp.asarray(img),
+                    alpha_mask=jnp.asarray(alpha),
+                    thinned=jnp.asarray(tp),
+                    thinned_mask=jnp.asarray(tm),
+                )
+            )
+        return frames
+
+    train_fids = np.linspace(0, 1, n_train, endpoint=False)
+    test_fids = rng.uniform(size=n_test)
+    train = build_frames(train_fids)
+    test = build_frames(test_fids, cam_offset=3)
+
+    sel = rng.choice(len(fig.points), min(n_init_points, len(fig.points)), replace=False)
+    init_pts = fig.points[sel] + rng.normal(size=(len(sel), 3)).astype(np.float32) * 0.02
+    scene = SceneData(
+        train_frames=train,
+        test_frames=test,
+        init_points=init_pts,
+        init_colors=fig.colors[sel],
+        cameras_extent=compute_scene_extent(cams),
+        is_blender=True,
+        white_background=False,
+    )
+    return fig, scene

@@ -51,6 +51,9 @@ class Gaussians:
     max_sh_degree: int = dataclasses.field(metadata=dict(static=True))
     isotropic: bool = dataclasses.field(metadata=dict(static=True))
     with_motion_mask: bool = dataclasses.field(metadata=dict(static=True))
+    # StandardGaussianModel(all_the_same=True) mode for node Gaussians:
+    # every splat shares the mean log-scale (gaussian_model.py:534-546)
+    shared_scale: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     # ---- activations -----------------------------------------------------
     @property
@@ -62,6 +65,11 @@ class Gaussians:
         s = self.scaling
         if self.isotropic:
             s = jnp.repeat(s[:, :1], 3, axis=1)
+        if self.shared_scale:
+            mean = jnp.sum(jnp.where(self.alive[:, None], s, 0.0)) / jnp.maximum(
+                3 * jnp.sum(self.alive), 1
+            )
+            s = jnp.broadcast_to(mean, s.shape)
         return jnp.exp(s)
 
     @property
@@ -134,6 +142,7 @@ def create_from_pcd(
     isotropic: bool = False,
     fea_dim: int = 0,
     with_motion_mask: bool = True,
+    shared_scale: bool = False,
 ) -> Gaussians:
     """Initialize from a point cloud (reference create_from_pcd semantics:
     scales from mean 3-NN distance, opacity 0.1, identity rotation, DC color)."""
@@ -162,13 +171,16 @@ def create_from_pcd(
         features_dc=pad(rgb_to_sh_dc(jnp.asarray(colors, jnp.float32))[:, None, :]),
         features_rest=pad(jnp.zeros((n, rest, 3))),
         scaling=pad(jnp.tile(log_scale[:, None], (1, s_dim))),
-        rotation=pad(jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))),
+        # dead slots also get identity quats: zero quats have degenerate
+        # normalization gradients that can poison reductions coupling rows
+        rotation=jnp.tile(jnp.array([1.0, 0, 0, 0]), (capacity, 1)),
         opacity=pad(inverse_sigmoid(0.1 * jnp.ones((n, 1)))),
         feature=pad(feature),
         alive=jnp.arange(capacity) < n,
         max_sh_degree=max_sh_degree,
         isotropic=isotropic,
         with_motion_mask=with_motion_mask,
+        shared_scale=shared_scale,
     )
 
 

@@ -44,6 +44,17 @@ def fit_rotations(cov: jax.Array) -> jax.Array:
     return jnp.einsum("...ab,...b,...bc->...ac", u, d, vt)
 
 
+def safe_norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2 norm with a zero (not NaN) gradient at the origin.
+
+    torch.norm backward returns a 0 subgradient at 0; jnp.linalg.norm returns
+    NaN. Training losses that can hit exactly-zero vectors (e.g. the
+    acceleration regularizer at MLP init) must use this.
+    """
+    s = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(s + eps)
+
+
 def to_homogeneous(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
 

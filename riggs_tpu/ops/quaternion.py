@@ -14,9 +14,13 @@ _EPS = 1e-12
 
 
 def quat_normalize(q: jax.Array, eps: float = _EPS) -> jax.Array:
-    """Normalize to unit quaternion. q: (..., 4)."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """Normalize to unit quaternion. q: (..., 4).
+
+    Uses sqrt(|q|^2 + eps^2) so the gradient at q = 0 is zero instead of NaN
+    (zero quats appear in dead capacity-padding slots; torch's F.normalize
+    also has a benign subgradient there)."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
+    return q / norm
 
 
 def quat_conjugate(q: jax.Array) -> jax.Array:

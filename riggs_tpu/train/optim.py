@@ -63,22 +63,30 @@ def adam_update(
             step = jnp.where(keep, step, 0.0)
         return p - step, new_mu, new_nu
 
-    if not isinstance(lrs, (dict, list, tuple)) and not hasattr(lrs, "tree_flatten"):
-        lrs = jax.tree.map(lambda _: lrs, params)
-    if update_mask is None:
-        update_mask = jax.tree.map(lambda _: None, params, is_leaf=lambda x: x is None)
-
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
     flat_mu = treedef.flatten_up_to(state.mu)
     flat_nu = treedef.flatten_up_to(state.nu)
-    flat_lr = treedef.flatten_up_to(lrs)
-    flat_m = treedef.flatten_up_to(update_mask)
+    flat_lr = _flatten_prefix(lrs, params, treedef)
+    flat_m = _flatten_prefix(update_mask, params, treedef)
     out = [leaf(g, mu, nu, p, lr, m) for g, mu, nu, p, lr, m in zip(flat_g, flat_mu, flat_nu, flat_p, flat_lr, flat_m)]
     new_p = treedef.unflatten([o[0] for o in out])
     new_mu = treedef.unflatten([o[1] for o in out])
     new_nu = treedef.unflatten([o[2] for o in out])
     return new_p, AdamState(mu=new_mu, nu=new_nu, count=count)
+
+
+def _flatten_prefix(prefix: Any, params: Any, treedef) -> list:
+    """Flatten ``prefix`` (a tree-prefix of params — e.g. one scalar lr per
+    param *group* whose leaf may cover a whole parameter subtree) into one
+    value per params leaf."""
+    if prefix is None or not isinstance(prefix, (dict, list, tuple)):
+        return [prefix] * treedef.num_leaves
+    pref_leaves, pref_def = jax.tree.flatten(prefix)
+    out = []
+    for leaf_val, subtree in zip(pref_leaves, pref_def.flatten_up_to(params)):
+        out.extend([leaf_val] * len(jax.tree.leaves(subtree)))
+    return out
 
 
 def zero_rows(state: AdamState, dest: jax.Array) -> AdamState:

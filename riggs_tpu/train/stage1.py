@@ -1,0 +1,508 @@
+"""Stage-1 trainer: canonical Gaussians + node deformation field (SC-GS).
+
+Orchestration parity with /root/reference/train_gui.py:963-1565 (GUI.train):
+  phase A (train_node_rendering_step, :1224): nodes trained *as* isotropic
+    shared-scale Gaussians — photometric + elastic/acc/ARAP trajectory
+    regularizers + (late) 2D-skeleton chamfer; node-gaussian densification;
+    hyper-space FPS downsampling at ``iterations_node_sampling``; node
+    positions finalized into the warp at the end of the phase.
+  phase B (train_step, :1000): full scene Gaussians deformed by the node
+    warp — photometric + ARAP reg (landmark-scheduled) + motion-mask loss +
+    2D-skeleton chamfer; Gaussian + node densification; SH warmup; opacity
+    resets.
+
+TPU design: two jitted step functions with static phase flags (a handful of
+recompiles per run, none per step); all densification events are jitted
+masked updates; the host loop only draws random frames and schedules.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riggs_tpu.camera.camera import Camera, project_nodes_2d
+from riggs_tpu.data.dataset import Frame, SceneData
+from riggs_tpu.models import gaussians as G
+from riggs_tpu.models import node_warp as NW
+from riggs_tpu.models.deform_mlp import DeformNetworkDef, apply_deform_network
+from riggs_tpu.ops.fps import farthest_point_sample
+from riggs_tpu.ops.knn import chamfer_distance
+from riggs_tpu.render.api import render
+from riggs_tpu.train import losses as L
+from riggs_tpu.train import optim as O
+from riggs_tpu.train import schedule as S
+from riggs_tpu.train.config import Config
+from riggs_tpu.train.static import compute_scene_extent, densify_step as gs_densify_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Stage1State:
+    gs: G.Gaussians
+    node_gs: G.Gaussians
+    warp: NW.NodeWarp
+    opt_gs: O.AdamState
+    opt_node: O.AdamState
+    opt_warp: O.AdamState
+    stats_gs: G.DensifyStats
+    stats_node: G.DensifyStats
+
+
+def init_stage1(
+    key: jax.Array,
+    scene: SceneData,
+    cfg: Config,
+    net: DeformNetworkDef | None = None,
+) -> Stage1State:
+    m = cfg.model
+    gs = G.create_from_pcd(
+        scene.init_points,
+        scene.init_colors,
+        capacity=m.capacity,
+        max_sh_degree=m.sh_degree,
+        isotropic=m.use_isotropic_gs,
+        fea_dim=m.hyper_dim,
+        with_motion_mask=m.gs_with_motion_mask,
+    )
+    net = net or DeformNetworkDef(is_blender=scene.is_blender)
+    warp = NW.init_node_warp(
+        key,
+        scene.init_points,
+        node_num=m.node_num,
+        net=net,
+        hyper_dim=m.hyper_dim,
+        d_rot_as_res=m.d_rot_as_res,
+    )
+    # node gaussians: isotropic shared-scale sh0 cloud at the node positions,
+    # with headroom for phase-A densification (node_max_num_ratio_during_init)
+    node_cap = m.node_num * cfg.opt.node_max_num_ratio_during_init
+    node_xyz = np.asarray(warp.nodes[:, :3])
+    node_gs = G.create_from_pcd(
+        node_xyz,
+        np.zeros_like(node_xyz),
+        capacity=node_cap,
+        max_sh_degree=0,
+        isotropic=True,
+        with_motion_mask=False,
+        shared_scale=True,
+    )
+    # reference sets node-gaussian scale to log(1e-2) (time_utils.py:1256)
+    node_gs = dataclasses.replace(node_gs, scaling=jnp.full_like(node_gs.scaling, np.log(1e-2)))
+    return Stage1State(
+        gs=gs,
+        node_gs=node_gs,
+        warp=warp,
+        opt_gs=O.adam_init(gs.params_dict()),
+        opt_node=O.adam_init(node_gs.params_dict()),
+        opt_warp=O.adam_init(warp.params_dict()),
+        stats_gs=G.init_densify_stats(gs.capacity),
+        stats_node=G.init_densify_stats(node_cap),
+    )
+
+
+def stage1_lr_fns(cfg: Config):
+    o = cfg.opt
+    deform_init = o.position_lr_init * 5.0 * o.deform_lr_scale  # spatial_lr_scale=5
+    mlp_sched = S.expon_lr(
+        deform_init,
+        o.position_lr_final * o.deform_lr_scale,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.deform_lr_max_steps,
+    )
+    gs_xyz = S.expon_lr(
+        o.position_lr_init,
+        o.position_lr_final,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.position_lr_max_steps,
+    )
+
+    def gauss_lrs(it):
+        return {
+            "xyz": gs_xyz(it),
+            "f_dc": o.feature_lr,
+            "f_rest": o.feature_lr / 20.0,
+            "opacity": o.opacity_lr,
+            "scaling": o.scaling_lr,
+            "rotation": o.rotation_lr,
+            "feature": o.feature_lr,
+        }
+
+    def warp_lrs(it):
+        # reference quirk (deform_model.py:60-65): only the mlp group is
+        # rescheduled; the nodes group keeps its initial lr forever.
+        return {
+            "mlp": mlp_sched(it),
+            "nodes": deform_init,
+            "radius": deform_init,
+            "weight": deform_init,
+        }
+
+    return gauss_lrs, warp_lrs
+
+
+def _to_device_lrs(d):
+    return jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), d)
+
+
+# ---------------------------------------------------------------------------
+# Phase A: node-as-gaussians rendering
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("detach_dxyz", "use_chamfer", "use_reg", "lambda_dssim", "max_per_tile"),
+)
+def phase_a_step(
+    state: Stage1State,
+    frame: Frame,
+    bg: jax.Array,
+    lrs_node: dict,
+    lrs_warp: dict,
+    key: jax.Array,
+    time_interval: float,
+    lambda_chamfer: float = 1e-3,
+    detach_dxyz: bool = False,
+    use_chamfer: bool = False,
+    use_reg: bool = True,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 256,
+):
+    m2b = jnp.zeros_like(state.node_gs.xyz[:, :2])
+    kr1, kr2, kr3 = jax.random.split(key, 3)
+
+    def loss_fn(params, mean2d_bias):
+        node_gs = state.node_gs.replace_params(params["node_gs"])
+        warp = state.warp.replace_params(params["warp"])
+        t = jnp.broadcast_to(frame.fid, (node_gs.capacity, 1))
+        d = apply_deform_network(warp.mlp, warp.net, jax.lax.stop_gradient(node_gs.xyz), t)
+        d_xyz = d["d_xyz"] * node_gs.motion_mask
+        if detach_dxyz:
+            d_xyz = jax.lax.stop_gradient(d_xyz)
+        out = render(
+            frame.cam,
+            node_gs,
+            bg,
+            d_xyz=d_xyz,
+            active_sh_degree=0,
+            mean2d_bias=mean2d_bias,
+            max_per_tile=max_per_tile,
+        )
+        loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
+        aux = {"img_loss": loss}
+        if use_chamfer and frame.thinned is not None:
+            proj = project_nodes_2d(frame.cam, node_gs.xyz + d_xyz)
+            cd = chamfer_distance(
+                proj, frame.thinned, x_mask=node_gs.alive, y_mask=frame.thinned_mask, norm=1
+            )
+            loss = loss + lambda_chamfer * cd
+            aux["chamfer"] = cd
+        if use_reg:
+            loss = loss + 1e-3 * NW.elastic_loss(warp, kr1, t=frame.fid, delta_t=time_interval)
+            loss = loss + 1e-5 * NW.acc_loss(warp, kr2, t=frame.fid, delta_t=3 * time_interval)
+            loss = loss + 1e-2 * NW.arap_loss(warp, kr3)
+        return loss, (out, aux)
+
+    params = {"node_gs": state.node_gs.params_dict(), "warp": state.warp.params_dict()}
+    (loss, (out, aux)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
+    new_node_p, opt_node = O.adam_update(gp["node_gs"], state.opt_node, params["node_gs"], lrs_node)
+    new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)
+    stats = G.add_densification_stats(state.stats_node, gm2b, out["radii"], out["visibility_filter"])
+    new_state = dataclasses.replace(
+        state,
+        node_gs=state.node_gs.replace_params(new_node_p),
+        warp=state.warp.replace_params(new_warp_p),
+        opt_node=opt_node,
+        opt_warp=opt_warp,
+        stats_node=stats,
+    )
+    metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_node_gs": state.node_gs.num_alive}
+    return new_state, metrics
+
+
+def downsample_nodes(state: Stage1State, cfg: Config, time_num: int = 16) -> Stage1State:
+    """'samp_hyper' node downsampling (train_gui.py:1344-1366): FPS in the
+    trajectory hyper-space of the phase-A node gaussians, keep node_num of
+    them as the final control nodes, prune the rest of the node gaussians."""
+    node_gs = state.node_gs
+    warp = state.warp
+    x = node_gs.xyz
+    t_samp = jnp.linspace(0.0, 1.0, time_num)
+
+    def at_t(t):
+        t_in = jnp.broadcast_to(t, (x.shape[0], 1))
+        return apply_deform_network(warp.mlp, warp.net, x, t_in)["d_xyz"]
+
+    trans = jax.vmap(at_t)(t_samp)  # (T, N, 3)
+    hyper = jnp.transpose(trans + x[None], (1, 0, 2)).reshape(x.shape[0], -1)
+    idx = farthest_point_sample(hyper, cfg.model.node_num, mask=node_gs.alive)
+    new_nodes = jnp.concatenate(
+        [x[idx], 1e-2 * jnp.ones((cfg.model.node_num, warp.hyper_dim))], axis=-1
+    )
+    scene_range = jnp.max(x[idx]) - jnp.min(x[idx])
+    warp = dataclasses.replace(
+        warp,
+        nodes=new_nodes,
+        node_radius_log=jnp.log(0.1 * scene_range + 1e-7) * jnp.ones(cfg.model.node_num),
+        node_weight_logit=jnp.zeros((cfg.model.node_num, 1)),
+    )
+    keep = jnp.zeros(node_gs.capacity, bool).at[idx].set(True)
+    node_gs = dataclasses.replace(node_gs, alive=node_gs.alive & keep)
+    return dataclasses.replace(
+        state,
+        warp=warp,
+        node_gs=node_gs,
+        opt_warp=O.adam_init(warp.params_dict()),
+        opt_node=O.adam_init(node_gs.params_dict()),
+        stats_node=G.init_densify_stats(node_gs.capacity),
+    )
+
+
+def finalize_nodes(state: Stage1State) -> Stage1State:
+    """End of phase A: adopt the trained node-gaussian positions as the warp's
+    control nodes (train_gui.py:1373-1375). Requires a prior downsample so
+    alive node gaussians == node_num."""
+    idx = jnp.nonzero(np.asarray(state.node_gs.alive), size=state.warp.node_num, fill_value=0)[0]
+    nodes = state.warp.nodes.at[:, :3].set(state.node_gs.xyz[idx])
+    return dataclasses.replace(state, warp=dataclasses.replace(state.warp, nodes=nodes))
+
+
+# ---------------------------------------------------------------------------
+# Phase B: full deformable training
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "warm",
+        "active_sh",
+        "use_chamfer",
+        "use_motion_loss",
+        "lambda_dssim",
+        "max_per_tile",
+        "isotropic",
+    ),
+)
+def phase_b_step(
+    state: Stage1State,
+    frame: Frame,
+    bg: jax.Array,
+    lrs_gs: dict,
+    lrs_warp: dict,
+    key: jax.Array,
+    lambda_arap: jax.Array,
+    lambda_motion: jax.Array,
+    lambda_chamfer: float = 1e-3,
+    warm: bool = False,
+    active_sh: int = 0,
+    use_chamfer: bool = False,
+    use_motion_loss: bool = False,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 1024,
+    isotropic: bool = False,
+):
+    m2b = jnp.zeros_like(state.gs.xyz[:, :2])
+
+    def loss_fn(params, mean2d_bias):
+        gs = state.gs.replace_params(params["gs"])
+        warp = state.warp.replace_params(params["warp"])
+        d = NW.warp_forward(
+            warp,
+            jax.lax.stop_gradient(gs.xyz),
+            frame.fid,
+            gs.feature,
+            gs.motion_mask,
+            local_frame=warp.net.local_frame,
+        )
+        d_xyz, d_rot = d["d_xyz"], d["d_rotation"]
+        if warm:
+            d_xyz = jax.lax.stop_gradient(d_xyz)
+            d_rot = jax.lax.stop_gradient(d_rot)
+        d_scaling = jnp.zeros_like(d["d_scaling"])  # train_gui.py:1053 zeroes it
+        if isotropic:
+            d_rot = jnp.zeros_like(d_rot)
+        out = render(
+            frame.cam,
+            gs,
+            bg,
+            d_xyz=d_xyz,
+            d_rotation=d_rot,
+            d_scaling=d_scaling,
+            active_sh_degree=active_sh,
+            mean2d_bias=mean2d_bias,
+            max_per_tile=max_per_tile,
+        )
+        loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
+        aux = {"img_loss": loss}
+        # ARAP regularizer with landmark-scheduled lambda (dynamic scalar)
+        aux["arap"] = NW.arap_loss(warp, key)
+        loss = loss + lambda_arap * aux["arap"]
+        if use_motion_loss and frame.alpha_mask is not None:
+            mout = render(
+                frame.cam,
+                gs,
+                bg,
+                d_xyz=d_xyz,
+                d_rotation=d_rot,
+                d_scaling=d_scaling,
+                render_motion=True,
+                detach_xyz=True,
+                detach_rot=True,
+                detach_scale=True,
+                detach_opacity=True,
+                max_per_tile=max_per_tile,
+            )
+            loss = loss + lambda_motion * L.l1_loss(mout["render"][..., 0], frame.alpha_mask)
+        if use_chamfer and frame.thinned is not None:
+            proj = project_nodes_2d(frame.cam, d["d_nodes"])
+            cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
+            loss = loss + lambda_chamfer * cd
+            aux["chamfer"] = cd
+        return loss, (out, aux)
+
+    params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
+    (loss, (out, aux)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
+    new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+    new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)
+    stats = G.add_densification_stats(state.stats_gs, gm2b, out["radii"], out["visibility_filter"])
+    new_state = dataclasses.replace(
+        state,
+        gs=state.gs.replace_params(new_gs_p),
+        warp=state.warp.replace_params(new_warp_p),
+        opt_gs=opt_gs,
+        opt_warp=opt_warp,
+        stats_gs=stats,
+    )
+    metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}
+    metrics.update({k: v for k, v in aux.items() if k != "img_loss"})
+    return new_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Host loop
+# ---------------------------------------------------------------------------
+
+
+def train_stage1(
+    scene: SceneData,
+    cfg: Config,
+    seed: int = 0,
+    log_every: int = 0,
+    eval_every: int = 0,
+    eval_fn=None,
+):
+    o = cfg.opt
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    state = init_stage1(ik, scene, cfg)
+    gauss_lrs, warp_lrs = stage1_lr_fns(cfg)
+    bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
+    rng = np.random.default_rng(seed)
+    frames = scene.train_frames
+    ti = scene.time_interval
+    history = []
+
+    # ---- phase A --------------------------------------------------------
+    for it in range(o.iterations_node_rendering):
+        frame = frames[rng.integers(len(frames))]
+        key, sk = jax.random.split(key)
+        lrs_node = _to_device_lrs(gauss_lrs(it))
+        lrs_warp = _to_device_lrs(warp_lrs(it))
+        state, metrics = phase_a_step(
+            state,
+            frame,
+            bg,
+            lrs_node,
+            lrs_warp,
+            sk,
+            ti,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            detach_dxyz=it < o.node_warm_up,
+            use_chamfer=it > o.iterations_node_sampling,
+            use_reg=it > o.node_warm_up and not o.no_arap_loss,
+            lambda_dssim=o.lambda_dssim,
+            max_per_tile=cfg.pipe.max_per_tile,
+        )
+        if it < o.iterations_node_sampling and it > 0 and it % o.densification_interval == 0:
+            key, sk = jax.random.split(key)
+            st = gs_densify_step(
+                Stage1TrainView(state.node_gs, state.opt_node, state.stats_node),
+                sk,
+                o.densify_grad_threshold,
+                scene.cameras_extent,
+                percent_dense=o.percent_dense,
+            )
+            state = dataclasses.replace(state, node_gs=st.gs, opt_node=st.opt, stats_node=st.stats)
+        if it == o.iterations_node_sampling:
+            state = downsample_nodes(state, cfg)
+        if log_every and it % log_every == 0:
+            history.append(("A", it, {k: float(v) for k, v in metrics.items()}))
+            m = history[-1][2]
+            print(f"[A {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} nodes={int(m['n_node_gs'])}")
+    if o.iterations_node_rendering > o.iterations_node_sampling:
+        state = finalize_nodes(state)
+
+    # ---- phase B --------------------------------------------------------
+    for it in range(o.iterations):
+        frame = frames[rng.integers(len(frames))]
+        key, sk = jax.random.split(key)
+        lam_arap = S.landmark_interpolate(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
+        lam_motion = S.landmark_interpolate(
+            o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
+        )
+        state, metrics = phase_b_step(
+            state,
+            frame,
+            bg,
+            _to_device_lrs(gauss_lrs(it)),
+            _to_device_lrs(warp_lrs(it)),
+            sk,
+            jnp.asarray(lam_arap, jnp.float32),
+            jnp.asarray(lam_motion, jnp.float32),
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            warm=it < o.warm_up,
+            active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
+            use_chamfer=frames[0].thinned is not None,
+            use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and lam_motion > 0,
+            lambda_dssim=o.lambda_dssim,
+            max_per_tile=cfg.pipe.max_per_tile,
+            isotropic=cfg.model.use_isotropic_gs,
+        )
+        if o.densify_from_iter < it < o.densify_until_iter and it % o.densification_interval == 0:
+            key, sk = jax.random.split(key)
+            st = gs_densify_step(
+                Stage1TrainView(state.gs, state.opt_gs, state.stats_gs),
+                sk,
+                o.densify_grad_threshold,
+                scene.cameras_extent,
+                percent_dense=o.percent_dense,
+            )
+            state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+        if it > 0 and it % o.opacity_reset_interval == 0:
+            gs = G.reset_opacity(state.gs)
+            opt = O.AdamState(
+                mu=dict(state.opt_gs.mu, opacity=jnp.zeros_like(state.opt_gs.mu["opacity"])),
+                nu=dict(state.opt_gs.nu, opacity=jnp.zeros_like(state.opt_gs.nu["opacity"])),
+                count=state.opt_gs.count,
+            )
+            state = dataclasses.replace(state, gs=gs, opt_gs=opt)
+        if log_every and it % log_every == 0:
+            history.append(("B", it, {k: float(v) for k, v in metrics.items()}))
+            m = history[-1][2]
+            print(f"[B {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}")
+        if eval_every and eval_fn is not None and it > 0 and it % eval_every == 0:
+            eval_fn(state, it)
+    return state, history
+
+
+def Stage1TrainView(gs, opt, stats):
+    """Adapter: reuse the static trainer's densify_step on any (gs, opt, stats)."""
+    from riggs_tpu.train.static import TrainState
+
+    return TrainState(gs=gs, opt=opt, stats=stats)

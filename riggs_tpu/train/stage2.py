@@ -1,0 +1,396 @@
+"""Stage-2 trainer: skeleton discovery + rigged (skeleton-driven) training.
+
+Orchestration parity with /root/reference/train_rig.py:42-582 (TrainRig):
+  * init: run the pretrained stage-1 deform over every (time-sorted) train
+    frame, collect d_xyz / d_nodes, label nodes semantically by projecting
+    into the segmentation maps, select the template key-frame (min mean
+    trajectory deviation top-5 -> max mask coverage), extract the skeleton
+    tree, bake the template deformation into the canonical Gaussians, and
+    build the SkeletonWarp with radii inherited from the stage-1 nodes;
+  * warmup (< skeleton_warm_up): distill the skeleton model to the pretrained
+    d_xyz / d_joints via L2;
+  * main: photometric + template-offset L2 (1e3 boost on the template frame)
+    + robust-weighted 2D-skeleton chamfer (per-frame weights
+    exp(-loss^2 / 2 sigma^2), sigma = median/2) + template-fixed pose loss;
+  * staged unlocking: template offsets + skinning MLP enabled at
+    optimize_template_offsets_iters, with an FPS control-node reset;
+  * Gaussian densification only after gs_densification_iterations and never
+    in warmup.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riggs_tpu.camera.camera import project_nodes_2d
+from riggs_tpu.data.dataset import Frame, SceneData
+from riggs_tpu.models import gaussians as G
+from riggs_tpu.models import node_warp as NW
+from riggs_tpu.models import skeleton_warp as SW
+from riggs_tpu.ops.fps import farthest_point_sample
+from riggs_tpu.ops.knn import chamfer_distance
+from riggs_tpu.render.api import render
+from riggs_tpu.skeleton.extract import obtain_skeleton_tree
+from riggs_tpu.train import losses as L
+from riggs_tpu.train import optim as O
+from riggs_tpu.train import schedule as S
+from riggs_tpu.train.config import Config
+from riggs_tpu.train.static import densify_step as gs_densify_step, TrainState as _GsView
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Stage2State:
+    gs: G.Gaussians
+    skel: SW.SkeletonWarp
+    opt_gs: O.AdamState
+    opt_skel: O.AdamState
+    stats_gs: G.DensifyStats
+    proj_loss: jax.Array  # (F,) per-frame chamfer history for robust weighting
+
+
+@dataclasses.dataclass
+class PretrainInfo:
+    """Stage-1 deformations precomputed over all train frames (host arrays)."""
+
+    d_xyz: np.ndarray  # (F, C, 3) — capacity layout of the stage-2 gaussians
+    d_joints: np.ndarray  # (F, J, 3) posed joints per frame
+    template_idx: int
+    joints: np.ndarray
+    parents: np.ndarray
+    joint_node_indices: np.ndarray
+
+
+def precompute_deformations(stage1_state, scene: SceneData, cfg: Config):
+    """Run the pretrained deform over sorted train frames and extract the
+    skeleton (train_rig.py:192-254)."""
+    warp = stage1_state.warp
+    gs = stage1_state.gs
+    frames = sorted(scene.train_frames, key=lambda f: float(f.fid))
+    x = gs.xyz
+
+    all_d_xyz, all_d_nodes = [], []
+    sem_labels = []
+
+    fwd = jax.jit(
+        lambda t: NW.warp_forward(
+            warp, x, t, gs.feature, gs.motion_mask, local_frame=warp.net.local_frame
+        )
+    )
+    for f in frames:
+        d = fwd(f.fid)
+        all_d_xyz.append(np.asarray(d["d_xyz"]))
+        all_d_nodes.append(np.asarray(d["d_nodes"]))
+        if f.semantic_seg is not None:
+            proj = np.asarray(project_nodes_2d(f.cam, d["d_nodes"])).astype(np.int64)
+            h, w = np.asarray(f.semantic_seg).shape
+            proj[:, 0] = np.clip(proj[:, 0], 0, h - 1)
+            proj[:, 1] = np.clip(proj[:, 1], 0, w - 1)
+            sem_labels.append(np.asarray(f.semantic_seg)[proj[:, 0], proj[:, 1]])
+
+    d_xyz = np.stack(all_d_xyz)  # (F, C, 3)
+    d_nodes = np.stack(all_d_nodes)  # (F, M, 3)
+
+    # template selection: 5 frames closest to the mean trajectory, then the
+    # one with the largest mask coverage (train_rig.py:149-174)
+    mean_nodes = d_nodes.mean(axis=0, keepdims=True)
+    mean_dev = np.linalg.norm(d_nodes - mean_nodes, axis=-1).mean(axis=-1)
+    if cfg.opt.manually_key_frame >= 0:
+        template_idx = cfg.opt.manually_key_frame
+    else:
+        cand = np.argsort(mean_dev)[:5]
+        if frames[0].alpha_mask is not None:
+            coverage = [float(np.asarray(frames[i].alpha_mask).sum()) for i in cand]
+            template_idx = int(cand[int(np.argmax(coverage))])
+        else:
+            template_idx = int(cand[0])
+
+    med_seg = np.median(np.stack(sem_labels), axis=0).astype(np.int64) if sem_labels else None
+
+    joints, parents, joint_idx = obtain_skeleton_tree(
+        d_nodes[template_idx], d_nodes, med_seg
+    )
+    return PretrainInfo(
+        d_xyz=d_xyz,
+        d_joints=d_nodes[:, joint_idx],
+        template_idx=template_idx,
+        joints=joints,
+        parents=parents,
+        joint_node_indices=joint_idx,
+    ), frames
+
+
+def init_stage2(
+    key: jax.Array, stage1_state, scene: SceneData, cfg: Config
+) -> tuple[Stage2State, PretrainInfo, list[Frame]]:
+    info, frames = precompute_deformations(stage1_state, scene, cfg)
+    gs = stage1_state.gs
+    if cfg.opt.num_gs_sample > 10:
+        gs = G.sampling_and_prune(gs, cfg.opt.num_gs_sample)
+
+    # bake the template-frame deformation into the canonical cloud
+    # (train_rig.py:137-141,256-262)
+    template_offsets = info.d_xyz[info.template_idx]
+    gs = dataclasses.replace(gs, xyz=gs.xyz + jnp.asarray(template_offsets))
+    info.d_xyz = info.d_xyz - template_offsets[None]
+
+    # radii inherited from the stage-1 nodes backing each joint (train_rig.py:84-88)
+    radius_log = np.asarray(stage1_state.warp.node_radius_log)[info.joint_node_indices]
+    skel = SW.init_skeleton_warp(
+        key,
+        info.joints,
+        info.parents,
+        node_radius_log=radius_log,
+        K=cfg.opt.skeleton_weight_knn,
+        use_skinning_mlp=cfg.model.use_skinning_weight_mlp,
+        use_template_offsets=cfg.model.use_template_offsets,
+        n_control_nodes=cfg.model.skeleton_gs_sample_num,
+    )
+    state = Stage2State(
+        gs=gs,
+        skel=skel,
+        opt_gs=O.adam_init(gs.params_dict()),
+        opt_skel=O.adam_init(skel.params_dict()),
+        stats_gs=G.init_densify_stats(gs.capacity),
+        proj_loss=1.0e5 * jnp.ones(len(frames)),
+    )
+    return state, info, frames
+
+
+def sample_skeleton_points(joints: jax.Array, parents, samples_per_bone: int = 8) -> jax.Array:
+    """Resample points along every bone for the 2D-projection chamfer
+    (train_rig.py:294-306). The reference derives a data-dependent sample
+    count from bone lengths; here it is a static per-bone count so the op
+    stays shape-stable under jit."""
+    parents = np.asarray(parents)
+    a = joints[parents[1:]]
+    b = joints[1:]
+    t = jnp.linspace(0.0, 1.0, samples_per_bone)[:, None, None]
+    pts = (1.0 - t) * a[None] + t * b[None]
+    return pts.reshape(-1, 3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "warm",
+        "active_sh",
+        "enable_to",
+        "enable_sm",
+        "use_chamfer",
+        "lambda_dssim",
+        "max_per_tile",
+        "isotropic",
+    ),
+)
+def stage2_step(
+    state: Stage2State,
+    frame: Frame,
+    uid: jax.Array,
+    bg: jax.Array,
+    lrs_gs: dict,
+    lrs_skel: Any,
+    pre_d_xyz: jax.Array,
+    pre_d_joints: jax.Array,
+    lambda_template_offsets: jax.Array,
+    lambda_template_fixed: jax.Array,
+    lambda_chamfer: float = 1e-3,
+    lambda_rendering: float = 1.0,
+    warm: bool = False,
+    active_sh: int = 0,
+    enable_to: bool = False,
+    enable_sm: bool = False,
+    use_chamfer: bool = True,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 1024,
+    isotropic: bool = False,
+):
+    m2b = jnp.zeros_like(state.gs.xyz[:, :2])
+
+    def loss_fn(params, mean2d_bias):
+        gs = state.gs.replace_params(params["gs"])
+        skel = state.skel.replace_params(params["skel"])
+        d = SW.skeleton_forward(
+            skel,
+            jax.lax.stop_gradient(gs.xyz),
+            frame.fid,
+            gs.motion_mask,
+            enable_template_offsets=enable_to,
+            enable_skinning_mlp=enable_sm,
+        )
+        d_xyz, d_rot = d["d_xyz"], d["d_rotation"]
+        d_scaling = jnp.zeros_like(d["d_scaling"])
+        if isotropic:
+            d_rot = jnp.zeros_like(d_rot)
+        loss = jnp.zeros(())
+        aux = {}
+        if enable_to:
+            to_loss = jnp.mean(d["template_offsets"] ** 2)
+            loss = loss + lambda_template_offsets * to_loss
+            aux["template_offsets_loss"] = to_loss
+        if use_chamfer and frame.thinned is not None:
+            pts = sample_skeleton_points(d["d_nodes"], state.skel.net.parents)
+            proj = project_nodes_2d(frame.cam, pts)
+            cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
+            # robust per-frame weight from the running loss buffer
+            sigma = jnp.median(state.proj_loss) / 2.0
+            w = jnp.exp(-state.proj_loss[uid] ** 2 / (2.0 * sigma**2))
+            loss = loss + lambda_chamfer * w * cd
+            aux["chamfer"] = cd
+        # template-fixed pose loss (identity local rotation on the template frame)
+        tf_loss = jnp.mean((d["local_rotation"] - jnp.asarray(SW.ROT_BIAS)) ** 2)
+        loss = loss + lambda_template_fixed * tf_loss
+
+        out = render(
+            frame.cam,
+            gs,
+            bg,
+            d_xyz=d_xyz,
+            d_rotation=d_rot,
+            d_scaling=d_scaling,
+            active_sh_degree=active_sh,
+            mean2d_bias=mean2d_bias,
+            max_per_tile=max_per_tile,
+        )
+        if warm:
+            aux["d_xyz_loss"] = L.l2_loss(d_xyz, pre_d_xyz)
+            aux["d_node_loss"] = L.l2_loss(d["d_nodes"], pre_d_joints)
+            loss = loss + aux["d_xyz_loss"] + aux["d_node_loss"]
+        else:
+            img_loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
+            loss = loss + lambda_rendering * img_loss
+            aux["img_loss"] = img_loss
+        return loss, (out, aux, d)
+
+    params = {"gs": state.gs.params_dict(), "skel": state.skel.params_dict()}
+    (loss, (out, aux, d)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        params, m2b
+    )
+    # skeleton always steps; gaussians only outside warmup (train_rig.py:517-533)
+    new_skel_p, opt_skel = O.adam_update(gp["skel"], state.opt_skel, params["skel"], lrs_skel)
+    if warm:
+        new_gs_p, opt_gs = params["gs"], state.opt_gs
+    else:
+        new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+    stats = G.add_densification_stats(state.stats_gs, gm2b, out["radii"], out["visibility_filter"])
+    proj_loss = state.proj_loss
+    if "chamfer" in aux:
+        proj_loss = proj_loss.at[uid].set(aux["chamfer"])
+    new_state = Stage2State(
+        gs=state.gs.replace_params(new_gs_p),
+        skel=state.skel.replace_params(new_skel_p),
+        opt_gs=opt_gs,
+        opt_skel=opt_skel,
+        stats_gs=stats,
+        proj_loss=proj_loss,
+    )
+    metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}
+    metrics.update(aux)
+    return new_state, metrics
+
+
+def train_stage2(
+    stage1_state,
+    scene: SceneData,
+    cfg: Config,
+    seed: int = 0,
+    log_every: int = 0,
+):
+    o = cfg.opt
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    state, info, frames = init_stage2(ik, stage1_state, scene, cfg)
+    bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
+    rng = np.random.default_rng(seed)
+
+    gs_lr = S.expon_lr(
+        o.position_lr_init,
+        o.position_lr_final,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.position_lr_max_steps,
+    )
+    skel_lr = S.expon_lr(
+        o.deform_mlp_lr_init,
+        o.deform_mlp_lr_final,
+        lr_delay_mult=o.deform_mlp_lr_delay_mult,
+        max_steps=o.deform_mlp_lr_max_steps,
+    )
+    pre_d_xyz = jnp.asarray(info.d_xyz)
+    pre_d_joints = jnp.asarray(info.d_joints)
+    history = []
+
+    for it in range(o.iterations):
+        uid = int(rng.integers(len(frames)))
+        frame = frames[uid]
+        warm = it < o.skeleton_warm_up
+        # staged unlocking + control-node FPS reset (train_rig.py:398-408)
+        if it == o.optimize_template_offsets_iters:
+            idx = farthest_point_sample(state.gs.xyz, cfg.model.skeleton_gs_sample_num, mask=state.gs.alive)
+            state = dataclasses.replace(
+                state, skel=dataclasses.replace(state.skel, control_nodes=state.gs.xyz[idx])
+            )
+        enable_to = cfg.model.use_template_offsets and it >= o.optimize_template_offsets_iters
+        enable_sm = cfg.model.use_skinning_weight_mlp and it > o.optimize_template_offsets_iters
+
+        lam_to = o.lambda_template_offsets * (1e3 if uid == info.template_idx else 1.0)
+        lam_tf = o.lambda_template_fixed if uid == info.template_idx else 0.0
+        lrs_gs = {
+            "xyz": jnp.asarray(gs_lr(it), jnp.float32),
+            "f_dc": jnp.asarray(o.feature_lr),
+            "f_rest": jnp.asarray(o.feature_lr / 20.0),
+            "opacity": jnp.asarray(o.opacity_lr),
+            "scaling": jnp.asarray(o.scaling_lr),
+            "rotation": jnp.asarray(o.rotation_lr),
+            "feature": jnp.asarray(o.feature_lr),
+        }
+        lr_s = 5e-4 if warm else skel_lr(max(0, it - o.skeleton_warm_up))
+        state, metrics = stage2_step(
+            state,
+            frame,
+            jnp.asarray(uid, jnp.int32),
+            bg,
+            lrs_gs,
+            jnp.asarray(lr_s, jnp.float32),
+            pre_d_xyz[uid],
+            pre_d_joints[uid],
+            jnp.asarray(lam_to, jnp.float32),
+            jnp.asarray(lam_tf, jnp.float32),
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            lambda_rendering=o.lambda_rendering_image,
+            warm=warm,
+            active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
+            enable_to=enable_to,
+            enable_sm=enable_sm,
+            use_chamfer=frames[0].thinned is not None and o.lambda_deformed_node_prjection > 1e-8,
+            lambda_dssim=o.lambda_dssim,
+            max_per_tile=cfg.pipe.max_per_tile,
+            isotropic=cfg.model.use_isotropic_gs,
+        )
+        if (
+            not warm
+            and o.gs_densification_iterations < it < o.densify_until_iter
+            and it > o.densify_from_iter
+            and it % o.densification_interval == 0
+        ):
+            key, sk = jax.random.split(key)
+            st = gs_densify_step(
+                _GsView(state.gs, state.opt_gs, state.stats_gs),
+                sk,
+                o.densify_grad_threshold,
+                scene.cameras_extent,
+                percent_dense=o.percent_dense,
+            )
+            state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+        if log_every and it % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append((it, m))
+            print(
+                f"[S2 {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}"
+                + (" (warm)" if warm else "")
+            )
+    return state, info, history

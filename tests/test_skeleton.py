@@ -1,0 +1,147 @@
+"""Tests for MST + skeleton-tree extraction on synthetic trajectories."""
+import numpy as np
+import pytest
+
+from riggs_tpu.skeleton.mst import prim_mst, build_tree
+from riggs_tpu.skeleton.extract import (
+    adjust_arrow_dir,
+    compute_average_edge_length,
+    compute_insert_points,
+    obtain_skeleton_tree,
+    prune_tree,
+    simplify_tree,
+)
+
+
+class TestPrim:
+    def test_chain(self):
+        # 4 points on a line: MST must be the chain
+        cost = np.array(
+            [
+                [0, 1, 2, 3],
+                [1, 0, 1, 2],
+                [2, 1, 0, 1],
+                [3, 2, 1, 0],
+            ],
+            float,
+        )
+        parents = prim_mst(cost, 0)
+        assert parents[0] == -1
+        # every non-root connects to an adjacent node
+        for i in range(1, 4):
+            assert abs(parents[i] - i) == 1
+
+    def test_total_weight_minimal(self, rng):
+        pts = rng.normal(size=(12, 2))
+        cost = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        parents = prim_mst(cost, 0)
+        w = sum(cost[i, parents[i]] for i in range(12) if parents[i] >= 0)
+        # compare against scipy's MST if available; else sanity bound
+        try:
+            from scipy.sparse.csgraph import minimum_spanning_tree
+
+            ref = minimum_spanning_tree(cost).sum()
+            np.testing.assert_allclose(w, ref, rtol=1e-6)
+        except ImportError:
+            assert w < cost[cost > 0].mean() * 12
+
+    def test_root_is_two(self):
+        cost = np.ones((5, 5)) - np.eye(5)
+        parents = build_tree(cost)
+        assert parents[2] == -1
+
+
+def make_synthetic_trajectories(n_frames=6):
+    """A plus-sign shaped articulated 'body': spine + two arms, sampled densely,
+    with limb-dependent motion."""
+    rng = np.random.default_rng(0)
+    segs = {
+        "spine": (np.array([0.0, -1.0, 0.0]), np.array([0.0, 1.0, 0.0]), 28),
+        "left": (np.array([0.0, 0.3, 0.0]), np.array([-1.0, 0.3, 0.0]), 18),
+        "right": (np.array([0.0, 0.3, 0.0]), np.array([1.0, 0.3, 0.0]), 18),
+    }
+    pts, labels = [], []
+    for li, (name, (a, b, n)) in enumerate(segs.items()):
+        t = np.linspace(0, 1, n)[:, None]
+        pts.append(a + t * (b - a) + rng.normal(size=(n, 3)) * 0.01)
+        labels.append(np.full(n, li))
+    nodes = np.concatenate(pts).astype(np.float32)
+    labels = np.concatenate(labels)
+    # trajectories: arms swing in opposite phases
+    frames = []
+    for f in range(n_frames):
+        ang = 0.5 * np.sin(2 * np.pi * f / n_frames)
+        cur = nodes.copy()
+        for sign, lab in ((1, 1), (-1, 2)):
+            m = labels == lab
+            x = cur[m]
+            c, s = np.cos(sign * ang), np.sin(sign * ang)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            pivot = np.array([0.0, 0.3, 0.0])
+            cur[m] = (x - pivot) @ R.T + pivot
+        frames.append(cur)
+    return nodes, np.stack(frames).astype(np.float32), labels
+
+
+class TestExtraction:
+    def test_obtain_skeleton_tree(self):
+        nodes, traj, labels = make_synthetic_trajectories()
+        joints, parents, idx = obtain_skeleton_tree(nodes, traj, None)
+        J = len(joints)
+        assert 3 <= J <= 30, J
+        assert parents[0] == -1
+        # valid topological order: parents precede children
+        assert all(parents[i] < i for i in range(1, J))
+        # joints span the shape: some joint near each limb tip
+        for tip in ([0, -1, 0], [0, 1, 0], [-1, 0.3, 0], [1, 0.3, 0]):
+            d = np.linalg.norm(joints - np.array(tip), axis=-1).min()
+            assert d < 0.45, (tip, d)
+
+    def test_with_semantics(self):
+        nodes, traj, labels = make_synthetic_trajectories()
+        joints, parents, idx = obtain_skeleton_tree(nodes, traj, labels)
+        assert parents[0] == -1
+        assert all(parents[i] < i for i in range(1, len(joints)))
+
+    def test_prune_removes_short_dangles(self):
+        # long chain 0..8 with a 2-node dangle (9, 10) off junction node 3.
+        # The main tail (8<-7<-6<-5<-4) is > 4 hops from the junction so it
+        # survives; the short dangle is removed.
+        parents = [-1, 0, 1, 2, 3, 4, 5, 6, 7, 3, 9]
+        nodes = np.zeros((11, 3))
+        nodes[:9, 0] = np.arange(9)
+        nodes[9] = [3, 1, 0]
+        nodes[10] = [3, 2, 0]
+        traj = np.tile(nodes[None], (2, 1, 1))
+        newp = prune_tree(nodes.copy(), traj, parents)
+        assert newp[10] == -2 and newp[9] == -2  # dangle removed
+        assert newp[8] == 7  # main tail intact
+
+    def test_insert_points_straight_line(self):
+        # straight chain: single edge end-to-end
+        path = list(range(10))
+        pts = np.zeros((2, 10, 3))
+        pts[:, :, 0] = np.arange(10)
+        edges = compute_insert_points(path, pts, dist_thres=0.5, num_thres=3)
+        assert edges == [[0, 9]]
+
+    def test_insert_points_corner(self):
+        # an L-shape: should split near the corner
+        path = list(range(11))
+        pts = np.zeros((1, 11, 3))
+        pts[0, :6, 0] = np.arange(6)
+        pts[0, 6:, 0] = 5
+        pts[0, 6:, 1] = np.arange(1, 6)
+        edges = compute_insert_points(path, pts, dist_thres=0.5, num_thres=3)
+        assert len(edges) >= 2
+        flat = {i for e in edges for i in e}
+        assert any(4 <= i <= 6 for i in flat - {0, 10})
+
+    def test_avg_edge_length(self):
+        parents = [-1, 0, 1]
+        pts = np.zeros((2, 3, 3))
+        pts[:, 1, 0] = 1.0
+        pts[:, 2, 0] = 3.0
+        per_edge, avg = compute_average_edge_length(pts, parents)
+        np.testing.assert_allclose(per_edge[1:], [1.0, 2.0])
+        np.testing.assert_allclose(avg, 1.5)
