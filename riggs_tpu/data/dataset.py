@@ -52,14 +52,11 @@ def pad_thinned(coords: np.ndarray, max_points: int) -> tuple[np.ndarray, np.nda
 def thin_mask_skeleton(mask: np.ndarray) -> np.ndarray:
     """2D skeleton = morphological thinning of the foreground mask, returning
     (row, col) coordinates of skeleton pixels (the offline preprocessing of
-    /root/reference/process_data/cal_2d_skeleton.py:10-18)."""
-    try:
-        from skimage.morphology import thin
+    /root/reference/process_data/cal_2d_skeleton.py:10-18; Zhang-Suen
+    implementation in data/thinning.py since skimage is unavailable)."""
+    from riggs_tpu.data.thinning import skeleton_pixels
 
-        sk = thin(mask > 0.5)
-    except ImportError:  # pragma: no cover - skimage is available in CI
-        sk = mask > 0.5
-    return np.argwhere(sk).astype(np.float32)
+    return skeleton_pixels(mask)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,86 @@
+"""Full two-stage training pipeline (the run_demo.py equivalent).
+
+Usage:
+  python scripts/run_pipeline.py --source_path <d-nerf scene dir> --model_path out/
+  python scripts/run_pipeline.py --synthetic --model_path out/   # built-in test scene
+
+Stage 1 (node deformation) -> skeleton extraction -> stage 2 (rigged model),
+saving reference-compatible artifacts: point_cloud/iteration_N/point_cloud.ply,
+skeleton_tree.npz, skeleton.obj, full-state checkpoints and cfg.json.
+Mirrors /root/reference/scripts/run_demo.py:20-52 orchestration.
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from riggs_tpu.train.config import Config, add_config_args, config_from_args
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", action="store_true", help="use the built-in synthetic scene")
+    ap.add_argument("--synthetic_size", type=int, default=128)
+    ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
+    ap.add_argument("--platform", type=str, default=None)
+    add_config_args(ap)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+    model_path = Path(cfg.model.model_path or "output/run")
+    model_path.mkdir(parents=True, exist_ok=True)
+    cfg.save(model_path / "cfg.json")
+
+    from riggs_tpu.data.blender import load_blender_scene
+    from riggs_tpu.data.synthetic import make_scene_data
+    from riggs_tpu.io.checkpoint import save_checkpoint, save_skeleton_tree
+    from riggs_tpu.io.obj import write_skeleton_obj
+    from riggs_tpu.train.stage1 import train_stage1
+    from riggs_tpu.train.stage2 import train_stage2
+
+    if args.synthetic:
+        _, scene = make_scene_data(
+            n_train=16, n_test=4, width=args.synthetic_size, height=args.synthetic_size
+        )
+    else:
+        scene = load_blender_scene(
+            cfg.model.source_path,
+            white_background=cfg.model.white_background,
+            resolution=max(cfg.model.resolution, 1),
+        )
+    print(f"scene: {len(scene.train_frames)} train / {len(scene.test_frames)} test frames")
+
+    t0 = time.time()
+    s1, hist1 = train_stage1(scene, cfg, log_every=500)
+    print(f"stage 1 done in {time.time() - t0:.0f}s")
+    save_checkpoint(model_path, cfg.opt.iterations, s1, gs=s1.gs, cfg=cfg)
+
+    if args.stage in ("2", "both"):
+        t0 = time.time()
+        s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500)
+        print(f"stage 2 done in {time.time() - t0:.0f}s")
+        save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
+        write_skeleton_obj(model_path / "skeleton.obj", info.joints, info.parents)
+        save_checkpoint(model_path / "rig", cfg.opt.iterations, s2, gs=s2.gs, cfg=cfg)
+
+        # final test-set evaluation
+        from riggs_tpu.eval.synthesis import render_test_set, format_numerical_res
+
+        if scene.test_frames:
+            rows, means, _ = render_test_set(
+                s2.gs, s2.skel, scene.test_frames, max_per_tile=cfg.pipe.max_per_tile
+            )
+            (model_path / "numerical_res.txt").write_text(format_numerical_res(rows, means))
+            print("test metrics:", means)
+
+
+if __name__ == "__main__":
+    main()

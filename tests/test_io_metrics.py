@@ -1,0 +1,140 @@
+"""Tests: PLY round-trip, checkpointing, OBJ, thinning, MS-SSIM/LPIPS."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riggs_tpu.models import gaussians as G
+from riggs_tpu.io.ply import save_gaussians_ply, load_gaussians_ply, write_ply, read_ply
+from riggs_tpu.io.obj import write_skeleton_obj, read_skeleton_obj, jet_colormap
+from riggs_tpu.io.checkpoint import (
+    save_state_npz,
+    load_state_npz,
+    save_skeleton_tree,
+    load_skeleton_tree,
+    search_max_iteration,
+)
+from riggs_tpu.data.thinning import zhang_suen_thin, skeleton_pixels
+from riggs_tpu.eval.metrics import ms_ssim, LpipsModel, evaluate_image
+
+
+def make_gs(rng, n=37, capacity=64):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    gs = G.create_from_pcd(pts, cols, capacity=capacity, max_sh_degree=2, fea_dim=2)
+    return gs
+
+
+class TestPly:
+    def test_roundtrip_columns(self, tmp_path, rng):
+        cols = {"x": rng.normal(size=10), "y": rng.normal(size=10), "foo": rng.normal(size=10)}
+        write_ply(tmp_path / "t.ply", {k: v.astype(np.float32) for k, v in cols.items()})
+        out = read_ply(tmp_path / "t.ply")
+        for k in cols:
+            np.testing.assert_allclose(out[k], cols[k].astype(np.float32))
+
+    def test_gaussians_roundtrip(self, tmp_path, rng):
+        gs = make_gs(rng)
+        save_gaussians_ply(tmp_path / "pc.ply", gs)
+        gs2 = load_gaussians_ply(tmp_path / "pc.ply", capacity=64, max_sh_degree=2)
+        n = int(gs.num_alive)
+        assert int(gs2.num_alive) == n
+        for field in ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity", "feature"):
+            a = np.asarray(getattr(gs, field))[:n]
+            b = np.asarray(getattr(gs2, field))[:n]
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=field)
+
+    def test_reference_field_names(self, tmp_path, rng):
+        gs = make_gs(rng)
+        save_gaussians_ply(tmp_path / "pc.ply", gs)
+        cols = read_ply(tmp_path / "pc.ply")
+        # schema of /root/reference/scene/gaussian_model.py construct_list_of_attributes
+        for name in ["x", "y", "z", "nx", "f_dc_0", "f_rest_0", "opacity", "scale_0", "rot_0", "fea_0"]:
+            assert name in cols, name
+        assert len([k for k in cols if k.startswith("f_rest_")]) == 3 * (9 - 1)
+
+
+class TestCheckpoint:
+    def test_state_roundtrip(self, tmp_path, rng):
+        gs = make_gs(rng)
+        from riggs_tpu.train.static import init_state
+
+        state = init_state(gs)
+        save_state_npz(tmp_path / "s.npz", state)
+        state2 = load_state_npz(tmp_path / "s.npz", state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_skeleton_tree_roundtrip(self, tmp_path):
+        j = np.random.randn(5, 3).astype(np.float32)
+        save_skeleton_tree(tmp_path, j, [-1, 0, 1, 1, 3], [4, 8, 15, 16, 23], 7)
+        j2, p2, i2, t2 = load_skeleton_tree(tmp_path)
+        np.testing.assert_allclose(j2, j)
+        assert list(p2) == [-1, 0, 1, 1, 3] and t2 == 7
+
+    def test_search_max_iteration(self, tmp_path):
+        assert search_max_iteration(tmp_path / "nope") is None
+        for i in (100, 2000, 30):
+            (tmp_path / f"iteration_{i}").mkdir()
+        assert search_max_iteration(tmp_path) == 2000
+
+
+class TestObj:
+    def test_skeleton_obj_roundtrip(self, tmp_path):
+        joints = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0]], np.float32)
+        write_skeleton_obj(tmp_path / "s.obj", joints, [-1, 0, 1])
+        j2, edges = read_skeleton_obj(tmp_path / "s.obj")
+        np.testing.assert_allclose(j2, joints)
+        assert edges == [(0, 1), (1, 2)]
+
+    def test_jet_colormap(self):
+        c = jet_colormap(np.array([0.0, 0.5, 1.0]))
+        assert c.shape == (3, 3)
+        assert (c >= 0).all() and (c <= 1).all()
+
+
+class TestThinning:
+    def test_thick_line_thins_to_one_px(self):
+        mask = np.zeros((32, 32))
+        mask[10:16, 4:28] = 1  # 6px-thick horizontal bar
+        sk = zhang_suen_thin(mask)
+        # skeleton is thin: each interior column has exactly 1 pixel
+        cols = sk[:, 8:24].sum(axis=0)
+        assert (cols <= 2).all() and cols.max() >= 1
+        assert sk.sum() < mask.sum() / 3
+
+    def test_pixels_format(self):
+        mask = np.zeros((16, 16))
+        mask[5:8, 5:12] = 1
+        px = skeleton_pixels(mask)
+        assert px.ndim == 2 and px.shape[1] == 2
+
+
+class TestMetrics:
+    def test_msssim_identical_is_one(self, rng):
+        img = jnp.asarray(rng.uniform(size=(192, 192, 3)).astype(np.float32))
+        v = float(ms_ssim(img, img))
+        assert v > 0.999
+
+    def test_msssim_degrades_with_noise(self, rng):
+        img = jnp.asarray(rng.uniform(size=(192, 192, 3)).astype(np.float32))
+        noisy = jnp.clip(img + 0.3 * jnp.asarray(rng.normal(size=img.shape).astype(np.float32)), 0, 1)
+        assert float(ms_ssim(img, noisy)) < float(ms_ssim(img, img)) - 0.05
+
+    def test_lpips_zero_for_identical(self, rng):
+        m = LpipsModel.random_init(jax.random.PRNGKey(0), "alex")
+        img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        assert abs(float(m(img, img))) < 1e-6
+
+    def test_lpips_positive_for_different(self, rng):
+        m = LpipsModel.random_init(jax.random.PRNGKey(0), "alex")
+        a = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+        assert float(m(a, b)) > 0
+
+    def test_evaluate_image_bundle(self, rng):
+        img = jnp.asarray(rng.uniform(size=(96, 96, 3)).astype(np.float32))
+        out = evaluate_image(img, img)
+        assert out["psnr"] > 50 and out["ssim"] > 0.99 and out["ms_ssim"] > 0.99
