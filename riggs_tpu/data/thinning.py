@@ -50,5 +50,10 @@ def zhang_suen_thin(mask: np.ndarray, max_iter: int = 200) -> np.ndarray:
 
 
 def skeleton_pixels(mask: np.ndarray) -> np.ndarray:
-    """(row, col) float32 coordinates of the thinned skeleton."""
+    """(row, col) float32 coordinates of the thinned skeleton. Uses the native
+    C++ implementation when built (identical output, ~100x faster)."""
+    from riggs_tpu import native
+
+    if native.available():
+        return np.argwhere(native.zhang_suen_thin(mask)).astype(np.float32)
     return np.argwhere(zhang_suen_thin(mask)).astype(np.float32)

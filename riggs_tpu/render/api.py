@@ -110,3 +110,64 @@ def render(
         "bg_color": bg,
         "overflow": out.get("overflow", jnp.zeros((), jnp.int32)),
     }
+
+
+def _ndc_xy(cam: Camera, points: jax.Array) -> jax.Array:
+    """World points -> NDC xy under cam (inverse of the pixel viewport map)."""
+    from riggs_tpu.camera.camera import project_points
+
+    pix, _ = project_points(cam, points)
+    size = jnp.asarray([cam.width, cam.height], jnp.float32)
+    return (2.0 * pix + 1.0) / size - 1.0
+
+
+def render_flow(
+    cam1: Camera,
+    cam2: Camera,
+    gs: Gaussians,
+    d_xyz1: jax.Array,
+    d_xyz2: jax.Array,
+    d_rotation1: jax.Array | float = 0.0,
+    d_scaling1: jax.Array | float = 0.0,
+    scaling_modifier: float = 1.0,
+    scale_const: float | None = None,
+    rasterizer: str = "tiled",
+    max_per_tile: int = 1024,
+) -> dict[str, Any]:
+    """Render screen-space scene flow as colors (reference render_flow,
+    /root/reference/gaussian_renderer/__init__.py:154-269): channel 0..1 =
+    NDC uv displacement from (cam1, t1) to (cam2, t2), channel 2 = motion
+    mask; composited with the Gaussians placed at t1 under cam1, zero
+    background. Used by the optical-flow loss against RAFT flow."""
+    xyz = jax.lax.stop_gradient(gs.xyz)
+    uv1 = _ndc_xy(cam1, xyz + d_xyz1)
+    uv2 = _ndc_xy(cam2 if cam2 is not None else cam1, xyz + d_xyz2)
+    flow = jnp.concatenate([uv2 - uv1, gs.motion_mask], axis=-1)
+
+    means3d = gs.xyz + d_xyz1
+    scales = gs.get_scaling + d_scaling1
+    if scale_const is not None:
+        scales = scale_const * jnp.ones_like(gs.get_scaling)
+    rotations = quat_normalize(gs.rotation + d_rotation1)
+
+    fn = _tiles.rasterize_tiled if rasterizer == "tiled" else _oracle.rasterize_oracle
+    kwargs = dict(max_per_tile=max_per_tile) if rasterizer == "tiled" else {}
+    out = fn(
+        cam1,
+        means3d,
+        flow,
+        gs.get_opacity[:, 0],
+        scales,
+        rotations,
+        jnp.zeros(3),
+        alive=gs.alive,
+        scale_modifier=scaling_modifier,
+        **kwargs,
+    )
+    return {
+        "render": out["image"],
+        "depth": out["depth"],
+        "alpha": out["alpha"],
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+    }

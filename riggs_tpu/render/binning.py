@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from riggs_tpu.render.project import Projected
 
@@ -78,4 +79,71 @@ def bin_gaussians(
     slots = jax.vmap(compact)(hit)  # (T, MAX) positions into depth order, -1 pad
     valid = slots >= 0
     idx = jnp.where(valid, order[jnp.clip(slots, 0)], 0)
+    return TileBins(idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n)
+
+
+def bin_gaussians_sorted(
+    proj: Projected,
+    width: int,
+    height: int,
+    max_per_tile: int = 1024,
+    tile: int = TILE,
+    max_tiles_per_gaussian: int = 16,
+) -> TileBins:
+    """Fast binning via one global (tile, depth) key sort — the XLA analog of
+    the CUDA rasterizer's duplicate+radix-sort, replacing the dense (T, N)
+    per-tile compaction (572 ms -> ~ms at N=100k).
+
+    Each Gaussian emits up to ``max_tiles_per_gaussian`` (tile_id, depth_rank)
+    keys covering its bbox rectangle (larger rectangles are truncated and
+    counted in ``count`` overflow); one ascending sort groups keys by tile in
+    depth order; per-tile windows are located with searchsorted.
+    """
+    tx_n, ty_n = num_tiles(width, height, tile)
+    T = tx_n * ty_n
+    N = proj.mean2d.shape[0]
+
+    order = jnp.argsort(jnp.where(proj.mask, proj.depth, jnp.inf))
+    mean2d = proj.mean2d[order]
+    radius = proj.radius[order]
+    mask = proj.mask[order]
+
+    lo = jnp.floor((mean2d - radius[:, None]) / tile).astype(jnp.int32)
+    hi = jnp.floor((mean2d + radius[:, None]) / tile).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, jnp.array([tx_n - 1, ty_n - 1]))
+    hi = jnp.clip(hi, 0, jnp.array([tx_n - 1, ty_n - 1]))
+    w_rect = hi[:, 0] - lo[:, 0] + 1  # (N,)
+    h_rect = hi[:, 1] - lo[:, 1] + 1
+
+    # enumerate rectangle cells in a fixed raster order (k -> (dx, dy))
+    side = max(int(np.ceil(np.sqrt(max_tiles_per_gaussian))), 1)
+    K = side * side
+    ks = jnp.arange(K, dtype=jnp.int32)
+    dx = (ks % side)[None, :]
+    dy = (ks // side)[None, :]
+    tx = lo[:, 0:1] + dx  # (N, K)
+    ty = lo[:, 1:2] + dy
+    cell_ok = mask[:, None] & (dx < w_rect[:, None]) & (dy < h_rect[:, None])
+    tile_id = ty * tx_n + tx
+
+    d_rank = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
+    key = jnp.where(cell_ok, tile_id * N + d_rank, jnp.iinfo(jnp.int32).max)
+    key_sorted = jnp.sort(key.reshape(-1))  # ascending: grouped by tile, depth order
+
+    starts = jnp.searchsorted(key_sorted, jnp.arange(T, dtype=jnp.int32) * N)
+    ends = jnp.searchsorted(key_sorted, (jnp.arange(T, dtype=jnp.int32) + 1) * N)
+    count = (ends - starts).astype(jnp.int32)
+
+    s = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    gather_pos = jnp.minimum(starts[:, None] + s, key_sorted.shape[0] - 1)
+    picked = key_sorted[gather_pos]  # (T, MAX)
+    valid = s < jnp.minimum(count, max_per_tile)[:, None]
+    d = jnp.where(valid, picked % N, 0)
+    idx = jnp.where(valid, order[d], 0)
+
+    # fold truncated rectangles into the overflow diagnostic: count is what the
+    # caller compares against max_per_tile, so report rect truncation by
+    # inflating the max tile count past the cap when it occurs
+    rect_overflow = jnp.sum(jnp.where(mask, jnp.maximum(w_rect * h_rect - K, 0), 0))
+    count = count.at[0].add(jnp.where(rect_overflow > 0, max_per_tile + rect_overflow, 0))
     return TileBins(idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n)

@@ -128,20 +128,40 @@ def rasterize_tiled(
     max_per_tile: int = 1024,
     tile_chunk: int = 64,
     mean2d_bias: jax.Array | None = None,
+    binning: str = "sort",
 ):
-    """Fast-path render. Same contract as rasterize_oracle plus overflow count."""
+    """Fast-path render. Same contract as rasterize_oracle plus overflow count.
+
+    binning='sort' uses the global key-sort binner (fast path);
+    binning='dense' the exact dense-mask compaction (oracle-parity reference).
+    """
+    from riggs_tpu.render.binning import bin_gaussians_sorted
+
     if cov3d is None:
         cov3d = build_cov3d(scales, rotations, scale_modifier)
     max_per_tile = -(-max_per_tile // G_CHUNK) * G_CHUNK  # multiple of the scan chunk
     proj = project_gaussians(cam, means3d, cov3d, alive, mean2d_bias)
-    bins = bin_gaussians(proj, cam.width, cam.height, max_per_tile=max_per_tile)
+    bin_fn = bin_gaussians_sorted if binning == "sort" else bin_gaussians
+    bins = bin_fn(proj, cam.width, cam.height, max_per_tile=max_per_tile)
 
+    # one packed gather instead of five (HBM-gather bound at large N)
     op_masked = jnp.where(proj.mask, opacity, 0.0)
-    g_mean2d = proj.mean2d[bins.idx]
-    g_conic = proj.conic[bins.idx]
-    g_op = jnp.where(bins.valid, op_masked[bins.idx], 0.0)
-    g_col = colors[bins.idx]
-    g_depth = proj.depth[bins.idx]
+    packed = jnp.concatenate(
+        [
+            proj.mean2d,
+            proj.conic,
+            op_masked[:, None],
+            colors,
+            proj.depth[:, None],
+        ],
+        axis=-1,
+    )  # (N, 10)
+    g = packed[bins.idx]  # (T, MAX, 10)
+    g_mean2d = g[..., 0:2]
+    g_conic = g[..., 2:5]
+    g_op = jnp.where(bins.valid, g[..., 5], 0.0)
+    g_col = g[..., 6:9]
+    g_depth = g[..., 9]
 
     pix = _tile_pixel_coords(bins.tiles_x, bins.tiles_y)
     rgb, dep, acc = blend_tiles(pix, g_mean2d, g_conic, g_op, g_col, g_depth, tile_chunk)

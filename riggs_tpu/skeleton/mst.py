@@ -37,6 +37,11 @@ def prim_mst(cost: np.ndarray, init_id: int = 0) -> np.ndarray:
 
 
 def build_tree(cost: np.ndarray, init_id: int = 2) -> np.ndarray:
-    """gene_tree equivalent: MST rooted at node 2 (the reference's fixed seed)."""
+    """gene_tree equivalent: MST rooted at node 2 (the reference's fixed seed).
+    Dispatches to the native C++ Prim when built (identical output)."""
     init_id = min(init_id, cost.shape[0] - 1)
+    from riggs_tpu import native
+
+    if native.available():
+        return native.prim_mst(np.asarray(cost, np.float32), init_id)
     return prim_mst(cost, init_id)

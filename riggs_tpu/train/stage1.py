@@ -225,6 +225,50 @@ def phase_a_step(
     return new_state, metrics
 
 
+@partial(jax.jit, static_argnames=("use_chamfer", "max_per_tile"))
+def phase_ref_step(
+    state: Stage1State,
+    frame: Frame,
+    bg: jax.Array,
+    lrs_warp: dict,
+    lambda_chamfer: float = 1e-3,
+    use_chamfer: bool = True,
+    max_per_tile: int = 1024,
+):
+    """ZJU variant of phase A (train_with_reference_points,
+    /root/reference/train_gui.py:1401-1565): the deformation is supervised
+    directly by per-frame SMPL vertex priors — L2(reference_points - xyz,
+    d_xyz) + the 2D-skeleton chamfer on projected nodes. Gaussian positions
+    are frozen; only the warp trains."""
+
+    def loss_fn(warp_params):
+        warp = state.warp.replace_params(warp_params)
+        gs = state.gs
+        d = NW.warp_forward(
+            warp,
+            jax.lax.stop_gradient(gs.xyz),
+            frame.fid,
+            gs.feature,
+            gs.motion_mask,
+            local_frame=warp.net.local_frame,
+        )
+        gt_d_xyz = frame.reference_points - jax.lax.stop_gradient(gs.xyz)
+        loss = jnp.mean(jnp.where(gs.alive[:, None], (gt_d_xyz - d["d_xyz"]) ** 2, 0.0))
+        aux = {"ref_loss": loss}
+        if use_chamfer and frame.thinned is not None:
+            proj = project_nodes_2d(frame.cam, d["d_nodes"])
+            cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
+            loss = loss + lambda_chamfer * cd
+            aux["chamfer"] = cd
+        return loss, aux
+
+    params = state.warp.params_dict()
+    (loss, aux), gp = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    new_p, opt_warp = O.adam_update(gp, state.opt_warp, params, lrs_warp)
+    new_state = dataclasses.replace(state, warp=state.warp.replace_params(new_p), opt_warp=opt_warp)
+    return new_state, {"loss": loss, **aux}
+
+
 def downsample_nodes(state: Stage1State, cfg: Config, time_num: int = 16) -> Stage1State:
     """'samp_hyper' node downsampling (train_gui.py:1344-1366): FPS in the
     trajectory hyper-space of the phase-A node gaussians, keep node_num of
@@ -409,11 +453,28 @@ def train_stage1(
     history = []
 
     # ---- phase A --------------------------------------------------------
+    use_ref_points = frames[0].reference_points is not None
     for it in range(o.iterations_node_rendering):
         frame = frames[rng.integers(len(frames))]
         key, sk = jax.random.split(key)
         lrs_node = _to_device_lrs(gauss_lrs(it))
         lrs_warp = _to_device_lrs(warp_lrs(it))
+        if use_ref_points:
+            # ZJU path: SMPL-prior supervision replaces node rendering
+            state, metrics = phase_ref_step(
+                state,
+                frame,
+                bg,
+                lrs_warp,
+                lambda_chamfer=o.lambda_deformed_node_prjection,
+                use_chamfer=frame.thinned is not None,
+                max_per_tile=cfg.pipe.max_per_tile,
+            )
+            if log_every and it % log_every == 0:
+                history.append(("A", it, {k: float(v) for k, v in metrics.items()}))
+                m = history[-1][2]
+                print(f"[A-ref {it}] loss={m['loss']:.5f}")
+            continue
         state, metrics = phase_a_step(
             state,
             frame,
@@ -445,7 +506,7 @@ def train_stage1(
             history.append(("A", it, {k: float(v) for k, v in metrics.items()}))
             m = history[-1][2]
             print(f"[A {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} nodes={int(m['n_node_gs'])}")
-    if o.iterations_node_rendering > o.iterations_node_sampling:
+    if not use_ref_points and o.iterations_node_rendering > o.iterations_node_sampling:
         state = finalize_nodes(state)
 
     # ---- phase B --------------------------------------------------------

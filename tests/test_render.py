@@ -96,6 +96,33 @@ class TestTiledParity:
             np.testing.assert_allclose(g[idx], fd, rtol=3e-2, atol=1e-4)
 
 
+class TestBinning:
+    def test_sorted_matches_dense(self, rng, cam):
+        """The key-sort binner must produce the same per-tile lists as the
+        dense-mask reference binner (same order, same membership)."""
+        from riggs_tpu.render.binning import bin_gaussians, bin_gaussians_sorted
+        from riggs_tpu.render.project import build_cov3d, project_gaussians
+
+        means, colors, opacity, scales, rots = make_scene(rng, n=300)
+        proj = project_gaussians(cam, means, build_cov3d(scales, rots))
+        a = bin_gaussians(proj, 64, 64, max_per_tile=512)
+        b = bin_gaussians_sorted(proj, 64, 64, max_per_tile=512)
+        na = np.asarray(a.valid).sum(1)
+        nb = np.asarray(b.valid).sum(1)
+        np.testing.assert_array_equal(na, nb)
+        for t in range(a.idx.shape[0]):
+            ia = np.asarray(a.idx[t])[np.asarray(a.valid[t])]
+            ib = np.asarray(b.idx[t])[np.asarray(b.valid[t])]
+            np.testing.assert_array_equal(ia, ib)
+
+    def test_sorted_image_matches_oracle(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng, n=150)
+        bg = jnp.zeros(3)
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, binning="sort")
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+
+
 class TestProjection:
     def test_isotropic_radius(self, rng):
         cam = make_camera(np.eye(3), np.array([0, 0, 2.0]), 100, 100, fovx=1.0, fovy=1.0)
