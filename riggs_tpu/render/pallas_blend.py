@@ -1,0 +1,265 @@
+"""Pallas fused per-tile blending: the flagship TPU kernel.
+
+Replaces the XLA blend path (render/tiles.py) whose per-chunk alpha tensors
+round-trip through HBM. Here each (tile, gaussian-chunk) grid step keeps the
+whole (G, P) alpha tile in VMEM:
+
+  layout: gaussians on sublanes (G_CHUNK=128 rows), the tile's 1024 pixels on
+  lanes. Per-gaussian packed attributes arrive as (16, G) blocks from a
+  (T, 16, MAX) array; outputs accumulate in-place into a (T, 8, P) block that
+  stays resident across the chunk axis of the grid.
+
+  The sequential front-to-back compositing becomes a lower-triangular ones
+  matmul in log space (MXU):  cumsum_incl = L @ log(1-alpha);
+  T_in = T_entry * exp(cumsum_incl);  w = alpha * T_in/(1-alpha) * [T_in>=eps]
+  and the color/depth/acc accumulation is Vg(8,G) @ w(G,P) — also MXU.
+
+The backward pass is a second Pallas kernel (custom_vjp): per-chunk entry
+transmittances are saved as forward residuals, so each chunk's gradients are
+computed independently except for a running suffix sum (processed back-to-
+front via a reversed index map), using the analytic alpha-compositing
+gradients:  dL/da_i = T_i (v_i . dC) - Suffix_i / (1 - a_i).
+
+Row order of the packed attribute array (PACK_ROWS):
+  0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb, 9 depth.
+Output rows: 0..2 rgb, 3 depth, 4 acc.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+G_CHUNK = 128
+PACK_ROWS = 16  # 10 used; padded for sublane alignment
+OUT_ROWS = 8  # 5 used
+
+TILE = 32
+P_TILE = TILE * TILE
+
+
+def _pixel_coords(t, tiles_x):
+    """(1, P) pixel-center x and y for tile id t."""
+    ox = (t % tiles_x) * TILE
+    oy = (t // tiles_x) * TILE
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P_TILE), 1)
+    px = (ox + p % TILE).astype(jnp.float32)
+    py = (oy + p // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _alphas(gt, px, py):
+    """gt: (G, 16) per-gaussian attributes; returns alpha (G, P) + intermediates."""
+    mx = gt[:, 0:1]
+    my = gt[:, 1:2]
+    ca = gt[:, 2:3]
+    cb = gt[:, 3:4]
+    cc = gt[:, 4:5]
+    op = gt[:, 5:6]
+    dx = px - mx  # (G, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = op * jnp.exp(power)
+    raw = jnp.where(power > 0.0, 0.0, raw)
+    alpha = jnp.minimum(raw, ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+    return alpha, raw, power, dx, dy, ca, cb, cc, op
+
+
+def _tri_lower(g):
+    """(G, G) lower-triangular ones including the diagonal."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (c <= r).astype(jnp.float32)
+
+
+def _vg(gt):
+    """(8, G) value rows [r, g, b, depth, 1, 0, 0, 0]."""
+    G = gt.shape[0]
+    ones = jnp.ones((G, 1), jnp.float32)
+    zeros = jnp.zeros((G, 3), jnp.float32)
+    v = jnp.concatenate([gt[:, 6:9], gt[:, 9:10], ones, zeros], axis=1)  # (G, 8)
+    return v.T  # (8, G)
+
+
+def _fwd_kernel(tiles_x_ref, g_ref, out_ref, tentry_ref, trun):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    tiles_x = tiles_x_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        trun[:] = jnp.ones(trun.shape, jnp.float32)
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    px, py = _pixel_coords(t, tiles_x)
+    gt = g_ref[0].T  # (G, 16)
+    alpha, *_ = _alphas(gt, px, py)
+
+    t_entry = trun[0:1, :]  # (1, P)
+    tentry_ref[0, 0, :] = t_entry[0]
+
+    lg = jnp.log1p(-alpha)  # alpha <= 0.99 -> finite
+    L = _tri_lower(alpha.shape[0])
+    cum = jnp.dot(L, lg, preferred_element_type=jnp.float32)  # inclusive cumsum over chunk order
+    t_in = t_entry * jnp.exp(cum)  # (G, P) transmittance AFTER each gaussian
+    one_m = 1.0 - alpha
+    t_exc = t_in / one_m
+    w = alpha * t_exc * (t_in >= T_EPS)
+
+    vg = _vg(gt)  # (8, G)
+    out_ref[0] += jnp.dot(vg, w, preferred_element_type=jnp.float32)
+    trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+
+
+def _bwd_kernel(tiles_x_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
+    t = pl.program_id(0)
+    crev = pl.program_id(1)  # runs 0..C-1 but blocks are index-mapped reversed
+
+    @pl.when(crev == 0)
+    def _():
+        suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
+
+    tiles_x = tiles_x_ref[0]
+    px, py = _pixel_coords(t, tiles_x)
+    gt = g_ref[0].T  # (G, 16)
+    alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
+    t_entry = tentry_ref[0, 0, :][None, :]  # (1, P)
+    dC = dout_ref[0]  # (8, P)
+
+    lg = jnp.log1p(-alpha)
+    G = alpha.shape[0]
+    L = _tri_lower(G)
+    cum = jnp.dot(L, lg, preferred_element_type=jnp.float32)
+    t_in = t_entry * jnp.exp(cum)
+    one_m = 1.0 - alpha
+    t_exc = t_in / one_m
+    incl = (t_in >= T_EPS).astype(jnp.float32)
+    w = alpha * t_exc * incl
+
+    vg = _vg(gt)  # (8, G)
+    # v_j . dC per pixel: (G, P)
+    vdc = jax.lax.dot_general(vg, dC, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    s = w * vdc
+
+    # gradient wrt the value rows [rgb, depth]: dVg (8, G) = dC @ w^T
+    dvg = jax.lax.dot_general(dC, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # suffix sums of s over later gaussians: strictly-upper ones matmul gives
+    # (U @ s)[i] = sum_{j>i} s[j]; later chunks arrive via the running scratch
+    U = 1.0 - L
+    suf = jnp.dot(U, s, preferred_element_type=jnp.float32) + suffix[0:1, :]
+
+    dalpha = t_exc * incl * vdc - suf / one_m
+    # chain through clamp/threshold to raw alpha
+    pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX) & (power <= 0.0)).astype(jnp.float32)
+    draw = dalpha * pass_mask
+    dpower = draw * raw
+    exppow = jnp.where(power > 0.0, 0.0, jnp.exp(power))
+
+    onesP = jnp.ones((P_TILE, 1), jnp.float32)
+
+    def rowsum(x):  # (G, P) -> (G, 1)
+        return jnp.dot(x, onesP, preferred_element_type=jnp.float32)
+
+    d_op = rowsum(draw * exppow)
+    d_ca = rowsum(-0.5 * dx * dx * dpower)
+    d_cb = rowsum(-dx * dy * dpower)
+    d_cc = rowsum(-0.5 * dy * dy * dpower)
+    d_mx = rowsum((ca * dx + cb * dy) * dpower)
+    d_my = rowsum((cc * dy + cb * dx) * dpower)
+
+    dgt = jnp.concatenate(
+        [
+            d_mx, d_my, d_ca, d_cb, d_cc, d_op,
+            dvg[0:1].T, dvg[1:2].T, dvg[2:3].T, dvg[3:4].T,
+            jnp.zeros((G, PACK_ROWS - 10), jnp.float32),
+        ],
+        axis=1,
+    )  # (G, 16)
+    dg_ref[0] = dgt.T  # (16, G)
+
+    suffix[0:1, :] = suffix[0:1, :] + jnp.sum(s, axis=0, keepdims=True)
+
+
+def _make_fwd(T, C, tiles_x, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P_TILE), lambda t, c, *_: (t, c, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, OUT_ROWS, P_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, P_TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _make_bwd(T, C, tiles_x, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, C - 1 - c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P_TILE), lambda t, c, *_: (t, C - 1 - c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, C - 1 - c), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, PACK_ROWS, G_CHUNK * C), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pallas_blend(g_packed: jax.Array, tiles_x: int, interpret: bool = False):
+    """g_packed: (T, 16, MAX) -> out (T, 8, P_TILE) [rgb, depth, acc rows]."""
+    out, _ = _pallas_blend_fwd(g_packed, tiles_x, interpret)
+    return out
+
+
+def _pallas_blend_fwd(g_packed, tiles_x, interpret):
+    T, R, MAX = g_packed.shape
+    assert R == PACK_ROWS and MAX % G_CHUNK == 0
+    C = MAX // G_CHUNK
+    out, tentry = _make_fwd(T, C, tiles_x, interpret)(
+        jnp.asarray([tiles_x], jnp.int32), g_packed
+    )
+    return out, (g_packed, tentry)
+
+
+def _pallas_blend_bwd(tiles_x, interpret, res, dout):
+    g_packed, tentry = res
+    T, R, MAX = g_packed.shape
+    C = MAX // G_CHUNK
+    (dg,) = _make_bwd(T, C, tiles_x, interpret)(
+        jnp.asarray([tiles_x], jnp.int32), g_packed, tentry, dout
+    )
+    return (dg,)
+
+
+pallas_blend.defvjp(_pallas_blend_fwd, _pallas_blend_bwd)

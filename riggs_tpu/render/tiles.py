@@ -129,11 +129,14 @@ def rasterize_tiled(
     tile_chunk: int = 64,
     mean2d_bias: jax.Array | None = None,
     binning: str = "sort",
+    blend: str = "jnp",
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
     binning='sort' uses the global key-sort binner (fast path);
     binning='dense' the exact dense-mask compaction (oracle-parity reference).
+    blend='pallas' runs the fused VMEM-resident Pallas blend kernel with its
+    analytic backward; 'jnp' the XLA scan path.
     """
     from riggs_tpu.render.binning import bin_gaussians_sorted
 
@@ -157,14 +160,28 @@ def rasterize_tiled(
         axis=-1,
     )  # (N, 10)
     g = packed[bins.idx]  # (T, MAX, 10)
-    g_mean2d = g[..., 0:2]
-    g_conic = g[..., 2:5]
-    g_op = jnp.where(bins.valid, g[..., 5], 0.0)
-    g_col = g[..., 6:9]
-    g_depth = g[..., 9]
 
-    pix = _tile_pixel_coords(bins.tiles_x, bins.tiles_y)
-    rgb, dep, acc = blend_tiles(pix, g_mean2d, g_conic, g_op, g_col, g_depth, tile_chunk)
+    if blend == "pallas":
+        from riggs_tpu.render.pallas_blend import pallas_blend, PACK_ROWS
+
+        g_masked = g.at[..., 5].set(jnp.where(bins.valid, g[..., 5], 0.0))
+        gp = jnp.concatenate(
+            [g_masked, jnp.zeros(g.shape[:2] + (PACK_ROWS - g.shape[-1],), g.dtype)], axis=-1
+        )
+        gp = jnp.transpose(gp, (0, 2, 1))  # (T, 16, MAX)
+        interpret = jax.devices()[0].platform == "cpu"
+        out = pallas_blend(gp, bins.tiles_x, interpret)  # (T, 8, P)
+        rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, P, 3)
+        dep = out[:, 3, :]
+        acc = out[:, 4, :]
+    else:
+        g_mean2d = g[..., 0:2]
+        g_conic = g[..., 2:5]
+        g_op = jnp.where(bins.valid, g[..., 5], 0.0)
+        g_col = g[..., 6:9]
+        g_depth = g[..., 9]
+        pix = _tile_pixel_coords(bins.tiles_x, bins.tiles_y)
+        rgb, dep, acc = blend_tiles(pix, g_mean2d, g_conic, g_op, g_col, g_depth, tile_chunk)
 
     # (T, P, C) -> (H, W, C) untile
     H, W = cam.height, cam.width

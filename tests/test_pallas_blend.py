@@ -1,0 +1,61 @@
+"""Pallas fused blend vs the jnp blend path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riggs_tpu.camera import make_camera
+from riggs_tpu.render.oracle import rasterize_oracle
+from riggs_tpu.render.tiles import rasterize_tiled
+from tests.test_render import make_scene
+
+
+@pytest.fixture
+def cam():
+    return make_camera(np.eye(3), np.array([0, 0, 3.0]), 64, 64, fovx=1.0, fovy=1.0)
+
+
+class TestPallasBlend:
+    def test_forward_matches_oracle(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng, n=200)
+        bg = jnp.array([0.2, 0.1, 0.4])
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        b = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, max_per_tile=256, blend="pallas"
+        )
+        np.testing.assert_allclose(a["image"], b["image"], atol=3e-5)
+        np.testing.assert_allclose(a["alpha"], b["alpha"], atol=3e-5)
+        np.testing.assert_allclose(a["depth"], b["depth"], atol=2e-4)
+
+    def test_backward_matches_jnp(self, rng, cam):
+        means, colors, opacity, scales, rots = make_scene(rng, n=80)
+        bg = jnp.zeros(3)
+        target = jnp.full((64, 64, 3), 0.5)
+
+        def loss(blend, m, c, o, s):
+            out = rasterize_tiled(
+                cam, m, c, o, s, rots, bg, max_per_tile=256, blend=blend
+            )
+            return jnp.mean((out["image"] - target) ** 2) + 0.01 * jnp.mean(out["depth"]) + 0.01 * jnp.mean(out["alpha"])
+
+        g_j = jax.grad(lambda *a: loss("jnp", *a), argnums=(0, 1, 2, 3))(means, colors, opacity, scales)
+        g_p = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3))(means, colors, opacity, scales)
+        for a, b, name in zip(g_j, g_p, ["means", "colors", "opacity", "scales"]):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3, err_msg=name)
+
+    def test_multi_chunk(self, rng, cam):
+        """max_per_tile > G_CHUNK exercises the cross-chunk transmittance carry
+        and the reversed-suffix backward."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.3)
+        bg = jnp.zeros(3)
+        a = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, max_per_tile=512, blend="jnp")
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, max_per_tile=512, blend="pallas")
+        np.testing.assert_allclose(a["image"], b["image"], atol=3e-5)
+
+        def loss(blend):
+            out = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, max_per_tile=512, blend=blend)
+            return jnp.mean(out["image"])
+
+        ga = jax.grad(lambda m: jnp.mean(rasterize_tiled(cam, m, colors, opacity, scales, rots, bg, max_per_tile=512, blend="jnp")["image"]))(means)
+        gb = jax.grad(lambda m: jnp.mean(rasterize_tiled(cam, m, colors, opacity, scales, rots, bg, max_per_tile=512, blend="pallas")["image"]))(means)
+        np.testing.assert_allclose(ga, gb, atol=1e-4, rtol=1e-3)
