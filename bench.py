@@ -45,9 +45,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--platform", type=str, default=None, help="force jax platform (e.g. cpu)")
+    ap.add_argument("--blend", type=str, default="pallas", choices=["pallas", "jnp"])
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        args.blend = "jnp"  # pallas interpret mode is slow; cpu smoke uses XLA path
 
     from riggs_tpu.camera import make_camera
     from riggs_tpu.render.tiles import rasterize_tiled
@@ -60,7 +63,8 @@ def main():
 
     def loss_fn(means, colors, opacity, scales, rots):
         out = rasterize_tiled(
-            cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile
+            cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile,
+            blend=args.blend,
         )
         return jnp.mean(out["image"]) + jnp.mean(out["depth"]) * 0.0
 

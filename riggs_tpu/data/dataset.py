@@ -30,6 +30,12 @@ class Frame:
     thinned_mask: jax.Array | None = None  # (P,) bool
     semantic_seg: jax.Array | None = None  # (H, W) int32
     reference_points: jax.Array | None = None  # (M, 3)
+    # optical-flow supervision (RAFT outputs, train_gui.py:1080-1121): flow to
+    # a neighbouring frame in pixels, a validity mask (cycle-consistency |
+    # occlusion), and the neighbour's fid + camera packed by the loader
+    flow: jax.Array | None = None  # (H, W, 2) pixel flow to the partner frame
+    flow_mask: jax.Array | None = None  # (H, W) bool/float validity
+    flow_partner_fid: jax.Array | None = None  # () partner frame time
 
     @property
     def fid(self):

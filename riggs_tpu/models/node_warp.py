@@ -132,7 +132,7 @@ def cal_nn_weight(
     K = warp.K if K is None else K
     node_key = jax.lax.stop_gradient(warp.nodes[:, :3]) if nodes is None else nodes[:, :3]
     q = jax.lax.stop_gradient(x)
-    if feature is not None and warp.hyper_dim > 0:
+    if feature is not None and warp.hyper_dim > 0 and feature.shape[-1] >= warp.hyper_dim:
         q = jnp.concatenate([q, feature[:, : warp.hyper_dim]], axis=-1)
         node_key = jnp.concatenate([node_key, warp.nodes[:, 3:]], axis=-1)
     nn_dist2, nn_idx = knn(q, node_key, K)

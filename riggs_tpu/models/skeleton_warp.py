@@ -331,6 +331,49 @@ def skeleton_forward(
     )
 
 
+def deform_by_pose_dq(
+    warp: SkeletonWarp,
+    x: jax.Array,
+    local_rotation: jax.Array,
+    global_trans: jax.Array,
+    motion_mask: jax.Array,
+) -> dict:
+    """Dual-quaternion skinning variant of deform_by_pose.
+
+    The reference ships a full DQ toolkit that its trainers never wire up
+    (/root/reference/utils/dual_quaternion.py, SURVEY.md §2.6 'capability to
+    keep'); here it is a first-class alternative: per-bone global transforms
+    become unit dual quaternions, blended with the skinning weights (DQB),
+    avoiding LBS candy-wrapper artifacts on twisting joints.
+    """
+    from riggs_tpu.ops.quaternion import dq_blend, dq_apply, qt_to_dq
+
+    x = jax.lax.stop_gradient(x)
+    rot_mats = quat_to_rotmat(local_rotation)
+    nn_weight, _, nn_idx = cal_nn_weight_skeleton(warp, x)
+    posed_joints, G = forward_kinematics(rot_mats, warp.joints, warp.net.parents)
+    q_global = rotmat_to_quat(G[:, :3, :3])
+    q_r, q_d = qt_to_dq(q_global, G[:, :3, 3])  # (J, 4) each
+
+    b_r, b_d = dq_blend(q_r[nn_idx], q_d[nn_idx], nn_weight)  # (N, 4)
+    new_x = dq_apply(b_r, b_d, x) + global_trans
+    translate = (new_x - x) * motion_mask
+    rotation = jax.lax.stop_gradient(b_r) * motion_mask
+    return {
+        "d_xyz": translate,
+        "d_rotation": rotation,
+        "d_scaling": jnp.zeros_like(x),
+        "d_nodes": posed_joints + global_trans,
+        "nn_idx": nn_idx,
+        "nn_weight": nn_weight,
+        "local_rotation": local_rotation,
+        "global_trans": global_trans,
+        "template_offsets": jnp.zeros_like(x),
+        "d_opacity": None,
+        "d_color": None,
+    }
+
+
 def node_deformation(warp: SkeletonWarp, local_rotation: jax.Array, global_trans: jax.Array) -> jax.Array:
     """Posed joints only (skeleton-only visualization, skeleton_warp.py:186-205)."""
     rot_mats = quat_to_rotmat(local_rotation)

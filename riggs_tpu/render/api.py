@@ -50,6 +50,7 @@ def render(
     mean2d_bias: jax.Array | None = None,
     rasterizer: str = "tiled",
     max_per_tile: int = 1024,
+    blend: str = "jnp",
 ) -> dict[str, Any]:
     means3d = gs.xyz + d_xyz
     if scale_const is not None:
@@ -87,7 +88,7 @@ def render(
         scales = scale_const * jnp.ones_like(scales)
 
     fn = _tiles.rasterize_tiled if rasterizer == "tiled" else _oracle.rasterize_oracle
-    kwargs = dict(max_per_tile=max_per_tile) if rasterizer == "tiled" else {}
+    kwargs = dict(max_per_tile=max_per_tile, blend=blend) if rasterizer == "tiled" else {}
     out = fn(
         cam,
         means3d,

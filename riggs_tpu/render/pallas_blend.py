@@ -104,11 +104,11 @@ def _fwd_kernel(tiles_x_ref, g_ref, out_ref, tentry_ref, trun):
     alpha, *_ = _alphas(gt, px, py)
 
     t_entry = trun[0:1, :]  # (1, P)
-    tentry_ref[0, 0, :] = t_entry[0]
+    tentry_ref[0, pl.ds(c, 1), :] = t_entry
 
     lg = jnp.log1p(-alpha)  # alpha <= 0.99 -> finite
     L = _tri_lower(alpha.shape[0])
-    cum = jnp.dot(L, lg, preferred_element_type=jnp.float32)  # inclusive cumsum over chunk order
+    cum = jnp.dot(L, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # inclusive cumsum over chunk order
     t_in = t_entry * jnp.exp(cum)  # (G, P) transmittance AFTER each gaussian
     one_m = 1.0 - alpha
     t_exc = t_in / one_m
@@ -128,10 +128,11 @@ def _bwd_kernel(tiles_x_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
         suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
 
     tiles_x = tiles_x_ref[0]
+    C = pl.num_programs(1)
     px, py = _pixel_coords(t, tiles_x)
     gt = g_ref[0].T  # (G, 16)
     alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
-    t_entry = tentry_ref[0, 0, :][None, :]  # (1, P)
+    t_entry = tentry_ref[0, pl.ds(C - 1 - crev, 1), :]  # (1, P)
     dC = dout_ref[0]  # (8, P)
 
     lg = jnp.log1p(-alpha)
@@ -198,7 +199,7 @@ def _make_fwd(T, C, tiles_x, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P_TILE), lambda t, c, *_: (t, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
     )
@@ -219,7 +220,7 @@ def _make_bwd(T, C, tiles_x, interpret):
         grid=(T, C),
         in_specs=[
             pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, C - 1 - c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P_TILE), lambda t, c, *_: (t, C - 1 - c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

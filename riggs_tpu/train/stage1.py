@@ -328,6 +328,7 @@ def finalize_nodes(state: Stage1State) -> Stage1State:
         "active_sh",
         "use_chamfer",
         "use_motion_loss",
+        "use_flow_loss",
         "lambda_dssim",
         "max_per_tile",
         "isotropic",
@@ -342,11 +343,13 @@ def phase_b_step(
     key: jax.Array,
     lambda_arap: jax.Array,
     lambda_motion: jax.Array,
+    lambda_flow: jax.Array | float = 0.0,
     lambda_chamfer: float = 1e-3,
     warm: bool = False,
     active_sh: int = 0,
     use_chamfer: bool = False,
     use_motion_loss: bool = False,
+    use_flow_loss: bool = False,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
@@ -387,6 +390,39 @@ def phase_b_step(
         # ARAP regularizer with landmark-scheduled lambda (dynamic scalar)
         aux["arap"] = NW.arap_loss(warp, key)
         loss = loss + lambda_arap * aux["arap"]
+        if use_flow_loss and frame.flow is not None:
+            # optical-flow loss (train_gui.py:1080-1121): render the NDC scene
+            # flow between this frame's pose and the partner frame's pose and
+            # L1-match the RAFT flow where the motion is solid & consistent
+            from riggs_tpu.render.api import render_flow
+
+            d2 = NW.warp_forward(
+                warp,
+                jax.lax.stop_gradient(gs.xyz),
+                frame.flow_partner_fid,
+                gs.feature,
+                gs.motion_mask,
+                local_frame=warp.net.local_frame,
+            )
+            fout = render_flow(
+                frame.cam, frame.cam, gs, d_xyz, d2["d_xyz"], d_rot, max_per_tile=max_per_tile
+            )
+            size = jnp.asarray([frame.cam.width, frame.cam.height], jnp.float32)
+            gt_flow_ndc = frame.flow / size * 2.0
+            pair_w = jnp.clip(
+                jnp.cos(jnp.abs(frame.fid - frame.flow_partner_fid) * jnp.pi / 2.0), 0.2, 1.0
+            )
+            solid = jax.lax.stop_gradient(fout["alpha"] > 0.9)
+            # down-weight pixels the photometric loss already explains poorly
+            l1w = jnp.cos(
+                jnp.mean(jnp.abs(jax.lax.stop_gradient(out["render"]) - frame.image), axis=-1)
+                * jnp.pi
+                / 2.0
+            )
+            m = (solid & (frame.flow_mask > 0)).astype(jnp.float32) * pair_w * l1w
+            flow_l1 = L.l1_loss(m[..., None] * gt_flow_ndc, m[..., None] * fout["render"][..., :2])
+            loss = loss + lambda_flow * flow_l1
+            aux["flow"] = flow_l1
         if use_motion_loss and frame.alpha_mask is not None:
             mout = render(
                 frame.cam,
@@ -440,6 +476,7 @@ def train_stage1(
     log_every: int = 0,
     eval_every: int = 0,
     eval_fn=None,
+    step_callback=None,
 ):
     o = cfg.opt
     key = jax.random.PRNGKey(seed)
@@ -517,6 +554,8 @@ def train_stage1(
         lam_motion = S.landmark_interpolate(
             o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
         )
+        lam_flow = S.landmark_interpolate(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
+        has_flow = frame.flow is not None and it >= o.warm_up and lam_flow > 0
         state, metrics = phase_b_step(
             state,
             frame,
@@ -526,11 +565,13 @@ def train_stage1(
             sk,
             jnp.asarray(lam_arap, jnp.float32),
             jnp.asarray(lam_motion, jnp.float32),
+            lambda_flow=jnp.asarray(lam_flow, jnp.float32),
             lambda_chamfer=o.lambda_deformed_node_prjection,
             warm=it < o.warm_up,
             active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
             use_chamfer=frames[0].thinned is not None,
             use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and lam_motion > 0,
+            use_flow_loss=has_flow,
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
@@ -559,6 +600,8 @@ def train_stage1(
             print(f"[B {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}")
         if eval_every and eval_fn is not None and it > 0 and it % eval_every == 0:
             eval_fn(state, it)
+        if step_callback is not None:
+            step_callback(state, it)
     return state, history
 
 

@@ -300,6 +300,7 @@ def train_stage2(
     cfg: Config,
     seed: int = 0,
     log_every: int = 0,
+    step_callback=None,
 ):
     o = cfg.opt
     key = jax.random.PRNGKey(seed)
@@ -393,4 +394,6 @@ def train_stage2(
                 f"[S2 {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}"
                 + (" (warm)" if warm else "")
             )
+        if step_callback is not None:
+            step_callback(state, it)
     return state, info, history

@@ -65,19 +65,47 @@ setInterval(()=>{},1000); refresh();
 
 
 class ViewerServer:
-    def __init__(self, gs, skel=None, warp=None, width: int = 512, height: int = 512, fov: float = 0.9):
+    def __init__(
+        self,
+        gs=None,
+        skel=None,
+        warp=None,
+        width: int = 512,
+        height: int = 512,
+        fov: float = 0.9,
+        state_fn=None,
+    ):
+        """Static model: pass gs (+skel or warp). Live training: pass
+        ``state_fn() -> (gs, skel, warp)`` and the viewer renders the current
+        training state on every request (the train-while-viewing mode of the
+        reference train_gui)."""
         import jax
         import jax.numpy as jnp
 
-        self.gs = gs
-        self.skel = skel
-        self.warp = warp
+        self._static = (gs, skel, warp)
+        self.state_fn = state_fn
         self.width = width
         self.height = height
         self.fov = fov
         self._lock = threading.Lock()
         self._jnp = jnp
         self._jax = jax
+
+    @property
+    def _state(self):
+        return self.state_fn() if self.state_fn is not None else self._static
+
+    @property
+    def gs(self):
+        return self._state[0]
+
+    @property
+    def skel(self):
+        return self._state[1]
+
+    @property
+    def warp(self):
+        return self._state[2]
 
     # ---- rendering -------------------------------------------------------
     def _camera(self, az: float, el: float, radius: float):

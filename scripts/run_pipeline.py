@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--synthetic_size", type=int, default=128)
     ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
     add_config_args(ap)
     args = ap.parse_args()
     if args.platform:
@@ -58,14 +59,30 @@ def main():
         )
     print(f"scene: {len(scene.train_frames)} train / {len(scene.test_frames)} test frames")
 
+    live = {"gs": None, "skel": None, "warp": None}
+    if args.viewer_port:
+        from riggs_tpu.viz.web_viewer import ViewerServer
+
+        ViewerServer(state_fn=lambda: (live["gs"], live["skel"], live["warp"])).serve(
+            port=args.viewer_port, blocking=False
+        )
+
+    def s1_cb(state, it):
+        live["gs"], live["warp"] = state.gs, state.warp
+
+    def s2_cb(state, it):
+        live["gs"], live["skel"], live["warp"] = state.gs, state.skel, None
+
     t0 = time.time()
-    s1, hist1 = train_stage1(scene, cfg, log_every=500)
+    s1, hist1 = train_stage1(scene, cfg, log_every=500,
+                             step_callback=s1_cb if args.viewer_port else None)
     print(f"stage 1 done in {time.time() - t0:.0f}s")
     save_checkpoint(model_path, cfg.opt.iterations, s1, gs=s1.gs, cfg=cfg)
 
     if args.stage in ("2", "both"):
         t0 = time.time()
-        s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500)
+        s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500,
+                                       step_callback=s2_cb if args.viewer_port else None)
         print(f"stage 2 done in {time.time() - t0:.0f}s")
         save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
         write_skeleton_obj(model_path / "skeleton.obj", info.joints, info.parents)
