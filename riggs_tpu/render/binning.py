@@ -31,6 +31,7 @@ class TileBins(NamedTuple):
     count: jax.Array  # (T,) true hit count per tile (pre-truncation)
     tiles_x: int
     tiles_y: int
+    overflow: jax.Array = None  # () extra diagnostic (e.g. truncated bbox cells)
 
 
 def num_tiles(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
@@ -79,7 +80,10 @@ def bin_gaussians(
     slots = jax.vmap(compact)(hit)  # (T, MAX) positions into depth order, -1 pad
     valid = slots >= 0
     idx = jnp.where(valid, order[jnp.clip(slots, 0)], 0)
-    return TileBins(idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n)
+    return TileBins(
+        idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n,
+        overflow=jnp.zeros((), jnp.int32),
+    )
 
 
 def bin_gaussians_sorted(
@@ -141,9 +145,10 @@ def bin_gaussians_sorted(
     d = jnp.where(valid, picked % N, 0)
     idx = jnp.where(valid, order[d], 0)
 
-    # fold truncated rectangles into the overflow diagnostic: count is what the
-    # caller compares against max_per_tile, so report rect truncation by
-    # inflating the max tile count past the cap when it occurs
+    # truncated-bbox cells are a separate overflow diagnostic (count stays the
+    # true per-tile hit count, which also drives kernel chunk predication)
     rect_overflow = jnp.sum(jnp.where(mask, jnp.maximum(w_rect * h_rect - K, 0), 0))
-    count = count.at[0].add(jnp.where(rect_overflow > 0, max_per_tile + rect_overflow, 0))
-    return TileBins(idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n)
+    return TileBins(
+        idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n,
+        overflow=rect_overflow.astype(jnp.int32),
+    )

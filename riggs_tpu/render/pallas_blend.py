@@ -89,37 +89,44 @@ def _vg(gt):
     return v.T  # (8, G)
 
 
-def _fwd_kernel(tiles_x_ref, g_ref, out_ref, tentry_ref, trun):
+def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
     t = pl.program_id(0)
     c = pl.program_id(1)
-    tiles_x = tiles_x_ref[0]
+    tiles_x = scalars_ref[0]
+    count_t = scalars_ref[1 + t]
 
     @pl.when(c == 0)
     def _():
         trun[:] = jnp.ones(trun.shape, jnp.float32)
         out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
 
-    px, py = _pixel_coords(t, tiles_x)
-    gt = g_ref[0].T  # (G, 16)
-    alpha, *_ = _alphas(gt, px, py)
-
     t_entry = trun[0:1, :]  # (1, P)
     tentry_ref[0, pl.ds(c, 1), :] = t_entry
 
-    lg = jnp.log1p(-alpha)  # alpha <= 0.99 -> finite
-    L = _tri_lower(alpha.shape[0])
-    cum = jnp.dot(L, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # inclusive cumsum over chunk order
-    t_in = t_entry * jnp.exp(cum)  # (G, P) transmittance AFTER each gaussian
-    one_m = 1.0 - alpha
-    t_exc = t_in / one_m
-    w = alpha * t_exc * (t_in >= T_EPS)
+    # chunk predication: skip chunks past the tile's real hit count and tiles
+    # whose transmittance is saturated everywhere (the CUDA per-pixel early
+    # stop, at chunk granularity) — exact: skipped chunks contribute nothing.
+    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
 
-    vg = _vg(gt)  # (8, G)
-    out_ref[0] += jnp.dot(vg, w, preferred_element_type=jnp.float32)
-    trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+    @pl.when(active)
+    def _():
+        px, py = _pixel_coords(t, tiles_x)
+        gt = g_ref[0].T  # (G, 16)
+        alpha, *_ = _alphas(gt, px, py)
+        lg = jnp.log1p(-alpha)  # alpha <= 0.99 -> finite
+        L = _tri_lower(alpha.shape[0])
+        cum = jnp.dot(L, lg, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # inclusive cumsum over chunk order
+        t_in = t_entry * jnp.exp(cum)  # (G, P) transmittance AFTER each gaussian
+        one_m = 1.0 - alpha
+        t_exc = t_in / one_m
+        w = alpha * t_exc * (t_in >= T_EPS)
+
+        vg = _vg(gt)  # (8, G)
+        out_ref[0] += jnp.dot(vg, w, preferred_element_type=jnp.float32)
+        trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
 
 
-def _bwd_kernel(tiles_x_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
+def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
     t = pl.program_id(0)
     crev = pl.program_id(1)  # runs 0..C-1 but blocks are index-mapped reversed
 
@@ -127,12 +134,26 @@ def _bwd_kernel(tiles_x_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
     def _():
         suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
 
-    tiles_x = tiles_x_ref[0]
+    tiles_x = scalars_ref[0]
+    count_t = scalars_ref[1 + t]
     C = pl.num_programs(1)
+    c = C - 1 - crev
+    t_entry = tentry_ref[0, pl.ds(c, 1), :]  # (1, P)
+    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dg_ref[:] = jnp.zeros(dg_ref.shape, jnp.float32)
+
+    @pl.when(active)
+    def _():
+        _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
+
+
+def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry):
     px, py = _pixel_coords(t, tiles_x)
     gt = g_ref[0].T  # (G, 16)
     alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
-    t_entry = tentry_ref[0, pl.ds(C - 1 - crev, 1), :]  # (1, P)
     dC = dout_ref[0]  # (8, P)
 
     lg = jnp.log1p(-alpha)
@@ -236,31 +257,36 @@ def _make_bwd(T, C, tiles_x, interpret):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def pallas_blend(g_packed: jax.Array, tiles_x: int, interpret: bool = False):
-    """g_packed: (T, 16, MAX) -> out (T, 8, P_TILE) [rgb, depth, acc rows]."""
-    out, _ = _pallas_blend_fwd(g_packed, tiles_x, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_blend(g_packed: jax.Array, counts: jax.Array, tiles_x: int, interpret: bool = False):
+    """g_packed: (T, 16, MAX); counts: (T,) int32 real per-tile hit counts
+    (drives chunk predication) -> out (T, 8, P_TILE) [rgb, depth, acc rows]."""
+    out, _ = _pallas_blend_fwd(g_packed, counts, tiles_x, interpret)
     return out
 
 
-def _pallas_blend_fwd(g_packed, tiles_x, interpret):
+def _scalars(counts, tiles_x):
+    return jnp.concatenate(
+        [jnp.asarray([tiles_x], jnp.int32), counts.astype(jnp.int32)]
+    )
+
+
+def _pallas_blend_fwd(g_packed, counts, tiles_x, interpret):
     T, R, MAX = g_packed.shape
     assert R == PACK_ROWS and MAX % G_CHUNK == 0
     C = MAX // G_CHUNK
-    out, tentry = _make_fwd(T, C, tiles_x, interpret)(
-        jnp.asarray([tiles_x], jnp.int32), g_packed
-    )
-    return out, (g_packed, tentry)
+    out, tentry = _make_fwd(T, C, tiles_x, interpret)(_scalars(counts, tiles_x), g_packed)
+    return out, (g_packed, counts, tentry)
 
 
 def _pallas_blend_bwd(tiles_x, interpret, res, dout):
-    g_packed, tentry = res
+    g_packed, counts, tentry = res
     T, R, MAX = g_packed.shape
     C = MAX // G_CHUNK
     (dg,) = _make_bwd(T, C, tiles_x, interpret)(
-        jnp.asarray([tiles_x], jnp.int32), g_packed, tentry, dout
+        _scalars(counts, tiles_x), g_packed, tentry, dout
     )
-    return (dg,)
+    return (dg, None)
 
 
 pallas_blend.defvjp(_pallas_blend_fwd, _pallas_blend_bwd)

@@ -170,7 +170,8 @@ def rasterize_tiled(
         )
         gp = jnp.transpose(gp, (0, 2, 1))  # (T, 16, MAX)
         interpret = jax.devices()[0].platform == "cpu"
-        out = pallas_blend(gp, bins.tiles_x, interpret)  # (T, 8, P)
+        counts = jnp.minimum(bins.count, max_per_tile).astype(jnp.int32)
+        out = pallas_blend(gp, counts, bins.tiles_x, interpret)  # (T, 8, P)
         rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, P, 3)
         dep = out[:, 3, :]
         acc = out[:, 4, :]
@@ -195,6 +196,8 @@ def rasterize_tiled(
 
     image = untile(rgb) + (1.0 - untile(acc[..., None])) * bg
     overflow = jnp.sum(jnp.maximum(bins.count - max_per_tile, 0))
+    if bins.overflow is not None:
+        overflow = overflow + bins.overflow
     return dict(
         image=image,
         depth=untile(dep[..., None])[..., 0],

@@ -307,6 +307,83 @@ def downsample_nodes(state: Stage1State, cfg: Config, time_num: int = 16) -> Sta
     )
 
 
+def node_densify_prune(state: Stage1State, cfg: Config, max_grad: float) -> Stage1State:
+    """Node densify/prune (time_utils.py:1272-1389 cal_node_importance +
+    densify): average the gaussian-gradient importance onto each node's KNN
+    fan; add a node at the weighted mean position of every node whose
+    importance exceeds the threshold; drop nodes no gaussian references.
+
+    Node counts are static under jit, so this is a host-side rebuild (it runs
+    once at node_force_densify_prune_step by default — one re-jit per event);
+    Adam moments of retained nodes are carried over, new nodes start fresh.
+    """
+    gs, warp = state.gs, state.warp
+    stats_grad = np.asarray(
+        jnp.where(state.stats_gs.denom > 0, state.stats_gs.xyz_gradient_accum / jnp.maximum(state.stats_gs.denom, 1.0), 0.0)
+    )
+    x = np.asarray(gs.xyz)
+    alive = np.asarray(gs.alive)
+    weights_g = np.where(alive, stats_grad, 0.0)
+
+    nn_weight, _, nn_idx = NW.cal_nn_weight(warp, gs.xyz, gs.feature)
+    nn_weight = np.asarray(nn_weight) * alive[:, None]
+    nn_idx = np.asarray(nn_idx)
+
+    M = warp.node_num
+    importance = np.zeros(M)
+    edge_count = np.zeros(M)
+    avg_x = np.zeros((M, x.shape[1]))
+    np.add.at(importance, nn_idx.reshape(-1), (nn_weight * weights_g[:, None]).reshape(-1))
+    np.add.at(edge_count, nn_idx.reshape(-1), nn_weight.reshape(-1))
+    np.add.at(
+        avg_x,
+        nn_idx.reshape(-1),
+        (nn_weight * weights_g[:, None]).reshape(-1, 1) * np.repeat(x, nn_idx.shape[1], axis=0),
+    )
+    avg_x = avg_x / np.maximum(importance[:, None], 1e-12)
+    importance = importance / (edge_count + 1e-7)
+
+    add_mask = (importance > max_grad) & np.isfinite(avg_x).all(axis=1)
+    keep_mask = edge_count > 0
+    if add_mask.sum() == 0 and keep_mask.all():
+        return state
+
+    old_nodes = np.asarray(warp.nodes)
+    old_radius = np.asarray(warp.node_radius_log)
+    old_weight = np.asarray(warp.node_weight_logit)
+    hyper = warp.hyper_dim
+    new_nodes = np.concatenate(
+        [old_nodes[keep_mask], np.concatenate([avg_x[add_mask, :3], 1e-2 * np.ones((add_mask.sum(), hyper))], -1)]
+    )
+    new_radius = np.concatenate([old_radius[keep_mask], old_radius[add_mask]])
+    new_weight = np.concatenate([old_weight[keep_mask], old_weight[add_mask]])
+    new_warp = dataclasses.replace(
+        warp,
+        nodes=jnp.asarray(new_nodes, jnp.float32),
+        node_radius_log=jnp.asarray(new_radius, jnp.float32),
+        node_weight_logit=jnp.asarray(new_weight, jnp.float32),
+    )
+    # carry Adam moments for kept nodes; fresh for added ones
+    opt = state.opt_warp
+
+    def carry(mu_leaf, old_arr, name):
+        arr = np.asarray(mu_leaf)
+        if arr.shape[:1] != (M,):
+            return mu_leaf
+        fresh = np.zeros((new_nodes.shape[0],) + arr.shape[1:], arr.dtype)
+        fresh[: keep_mask.sum()] = arr[keep_mask]
+        return jnp.asarray(fresh)
+
+    new_mu = dict(opt.mu)
+    new_nu = dict(opt.nu)
+    for k2 in ("nodes", "radius", "weight"):
+        new_mu[k2] = carry(opt.mu[k2], None, k2)
+        new_nu[k2] = carry(opt.nu[k2], None, k2)
+    new_opt = O.AdamState(mu=new_mu, nu=new_nu, count=opt.count)
+    print(f"node densify: +{int(add_mask.sum())} -{int((~keep_mask).sum())} -> {new_nodes.shape[0]} nodes")
+    return dataclasses.replace(state, warp=new_warp, opt_warp=new_opt)
+
+
 def finalize_nodes(state: Stage1State) -> Stage1State:
     """End of phase A: adopt the trained node-gaussian positions as the warp's
     control nodes (train_gui.py:1373-1375). Requires a prior downsample so
@@ -576,6 +653,14 @@ def train_stage1(
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
         )
+        node_dp = (
+            o.node_enable_densify_prune
+            and o.node_densify_from_iter < it < o.node_densify_until_iter
+            and it % o.node_densification_interval == 0
+            and it > o.warm_up
+        ) or it == o.node_force_densify_prune_step
+        if node_dp:
+            state = node_densify_prune(state, cfg, o.densify_grad_threshold)
         if o.densify_from_iter < it < o.densify_until_iter and it % o.densification_interval == 0:
             key, sk = jax.random.split(key)
             st = gs_densify_step(
