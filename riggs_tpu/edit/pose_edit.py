@@ -41,6 +41,26 @@ def compose_pose_edit(base_rotation: jnp.ndarray, edit_rotation: jnp.ndarray) ->
     return quat_normalize(quat_multiply(edit_rotation, base_rotation))
 
 
+def retarget_pose(
+    src_joints: np.ndarray,
+    dst_joints: np.ndarray,
+    local_rotation: np.ndarray,
+    global_trans: np.ndarray,
+):
+    """Drive one skeleton with a pose edited on another (reference-skeleton
+    retargeting, interactive_GUI.py:449+): when joint counts match, rotations
+    transfer 1:1; otherwise each destination joint takes the rotation of its
+    nearest source joint (rest-pose nearest neighbor)."""
+    src_joints = np.asarray(src_joints)
+    dst_joints = np.asarray(dst_joints)
+    rot = np.asarray(local_rotation)
+    if len(src_joints) == len(dst_joints):
+        return rot.copy(), np.asarray(global_trans).copy()
+    d = ((dst_joints[:, None] - src_joints[None]) ** 2).sum(-1)
+    nearest = d.argmin(1)
+    return rot[nearest], np.asarray(global_trans).copy()
+
+
 class PoseLibrary:
     """Save/load named skeleton poses to JSON (interactive_GUI pose files)."""
 

@@ -74,7 +74,9 @@ def rasterize_oracle(
     Returns dict(image (H,W,3), depth (H,W), alpha (H,W), radii (N,), proj).
     """
     if cov3d is None:
-        cov3d = build_cov3d(scales, rotations, scale_modifier)
+        from riggs_tpu.render.project import build_cov3d_packed
+
+        cov3d = build_cov3d_packed(scales, rotations, scale_modifier)
     proj = project_gaussians(cam, means3d, cov3d, alive, mean2d_bias)
 
     order = jnp.argsort(jnp.where(proj.mask, proj.depth, jnp.inf))

@@ -39,13 +39,44 @@ class Projected(NamedTuple):
 def build_cov3d(scales: jax.Array, rotations: jax.Array, scale_modifier: float = 1.0) -> jax.Array:
     """World covariance from activated scales (N,3) and unit quats (N,4).
 
-    Returns the symmetric (N, 3, 3) matrix (the reference packs 6 uniques;
-    we keep 3x3 — XLA fuses either way).
+    Returns the symmetric (N, 3, 3) matrix (compatibility surface; the fast
+    path uses build_cov3d_packed).
     """
     R = quat_to_rotmat(rotations)
     S = scales * scale_modifier
     M = R * S[:, None, :]  # R @ diag(S)
     return jnp.einsum("nab,ncb->nac", M, M)
+
+
+def build_cov3d_packed(scales: jax.Array, rotations: jax.Array, scale_modifier: float = 1.0) -> jax.Array:
+    """Packed upper-triangle covariance (N, 6): [c00, c01, c02, c11, c12, c22].
+
+    Struct-of-arrays scalar algebra — every op on (N,) vectors (full 128-lane
+    occupancy), no (N, 3, 3) intermediates.
+    """
+    from riggs_tpu.ops.quaternion import quat_normalize
+
+    q = quat_normalize(rotations)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (scales[:, 0] * scale_modifier) ** 2
+    s1 = (scales[:, 1] * scale_modifier) ** 2
+    s2 = (scales[:, 2] * scale_modifier) ** 2
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([c00, c01, c02, c11, c12, c22], axis=-1)
 
 
 def project_gaussians(
@@ -55,7 +86,12 @@ def project_gaussians(
     alive: jax.Array | None = None,
     mean2d_bias: jax.Array | None = None,
 ) -> Projected:
-    """Project all Gaussians; cull those behind the near plane or off screen."""
+    """Project all Gaussians; cull those behind the near plane or off screen.
+
+    Written in struct-of-arrays scalar form: (N, 3, 3)/(N, 2, 3) tensor ops
+    pad their tiny last dims to the 128-lane register width on TPU (~40x VPU
+    waste); explicit per-component algebra keeps every op on (N,) vectors.
+    """
     f32 = jnp.float32
     w2c = cam.w2c.astype(f32)
     view = means3d @ w2c[:3, :3].T + w2c[:3, 3]  # (N, 3)
@@ -72,25 +108,42 @@ def project_gaussians(
     txz = jnp.clip(tx / tz_safe, -limx, limx) * tz_safe
     tyz = jnp.clip(ty / tz_safe, -limy, limy) * tz_safe
 
-    # perspective Jacobian rows (2x3), J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    # T = J @ W with J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]] — rows as
+    # six (N,) scalars
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txz * inv_z2], -1),
-            jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tyz * inv_z2], -1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z2
     W = w2c[:3, :3]
-    T = jnp.einsum("nab,bc->nac", J, W)  # (N, 2, 3)
-    cov2d = jnp.einsum("nab,nbc,ndc->nad", T, cov3d, T)  # (N, 2, 2)
-    # low-pass dilation: ensure each splat covers ~a pixel
-    cov2d = cov2d + 0.3 * jnp.eye(2, dtype=f32)
+    t00 = j00 * W[0, 0] + j02 * W[2, 0]
+    t01 = j00 * W[0, 1] + j02 * W[2, 1]
+    t02 = j00 * W[0, 2] + j02 * W[2, 2]
+    t10 = j11 * W[1, 0] + j12 * W[2, 0]
+    t11 = j11 * W[1, 1] + j12 * W[2, 1]
+    t12 = j11 * W[1, 2] + j12 * W[2, 2]
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    if cov3d.ndim == 3:
+        s00 = cov3d[:, 0, 0]
+        s01 = cov3d[:, 0, 1]
+        s02 = cov3d[:, 0, 2]
+        s11 = cov3d[:, 1, 1]
+        s12 = cov3d[:, 1, 2]
+        s22 = cov3d[:, 2, 2]
+    else:  # packed (N, 6) upper triangle
+        s00, s01, s02, s11, s12, s22 = (cov3d[:, i] for i in range(6))
+
+    # cov2d = T Sigma T^T (+0.3 I dilation)
+    u0 = t00 * s00 + t01 * s01 + t02 * s02
+    u1 = t00 * s01 + t01 * s11 + t02 * s12
+    u2 = t00 * s02 + t01 * s12 + t02 * s22
+    v0 = t10 * s00 + t11 * s01 + t12 * s02
+    v1 = t10 * s01 + t11 * s11 + t12 * s12
+    v2 = t10 * s02 + t11 * s12 + t12 * s22
+    a = u0 * t00 + u1 * t01 + u2 * t02 + 0.3
+    b = u0 * t10 + u1 * t11 + u2 * t12
+    c = v0 * t10 + v1 * t11 + v2 * t12 + 0.3
     det = a * c - b * b
     det_ok = det > 0.0
     inv_det = jnp.where(det_ok, 1.0 / jnp.maximum(det, 1e-12), 0.0)

@@ -141,7 +141,9 @@ def rasterize_tiled(
     from riggs_tpu.render.binning import bin_gaussians_sorted
 
     if cov3d is None:
-        cov3d = build_cov3d(scales, rotations, scale_modifier)
+        from riggs_tpu.render.project import build_cov3d_packed
+
+        cov3d = build_cov3d_packed(scales, rotations, scale_modifier)
     max_per_tile = -(-max_per_tile // G_CHUNK) * G_CHUNK  # multiple of the scan chunk
     proj = project_gaussians(cam, means3d, cov3d, alive, mean2d_bias)
     bin_fn = bin_gaussians_sorted if binning == "sort" else bin_gaussians
@@ -159,7 +161,7 @@ def rasterize_tiled(
         ],
         axis=-1,
     )  # (N, 10)
-    g = packed[bins.idx]  # (T, MAX, 10)
+    g = bins.gather(packed)  # (T, MAX, 10)
 
     if blend == "pallas":
         from riggs_tpu.render.pallas_blend import pallas_blend, PACK_ROWS

@@ -110,9 +110,10 @@ class TestBinning:
         na = np.asarray(a.valid).sum(1)
         nb = np.asarray(b.valid).sum(1)
         np.testing.assert_array_equal(na, nb)
+        b_idx = np.asarray(b.order)[np.asarray(b.didx)]
         for t in range(a.idx.shape[0]):
             ia = np.asarray(a.idx[t])[np.asarray(a.valid[t])]
-            ib = np.asarray(b.idx[t])[np.asarray(b.valid[t])]
+            ib = b_idx[t][np.asarray(b.valid[t])]
             np.testing.assert_array_equal(ia, ib)
 
     def test_sorted_image_matches_oracle(self, rng, cam):
