@@ -33,6 +33,22 @@ def skinning_colors(nn_idx: jax.Array, nn_weight: jax.Array, n_joints: int) -> j
     return jnp.sum(joint_colors[nn_idx] * nn_weight[..., None], axis=1)
 
 
+def dump_skinning_weights_ply(
+    path, gs, skel: SW.SkeletonWarp, t: jax.Array | float = 0.0
+):
+    """Colored point cloud of skinning weights (vis_blending_weight_all,
+    /root/reference/skeleton_utils/visualization.py:60-129)."""
+    from riggs_tpu.io.obj import write_colored_pointcloud_ply
+
+    pose = SW.pose_at(skel, jnp.asarray(t))
+    d = SW.deform_by_pose(skel, gs.xyz, pose["local_rotation"], pose["global_trans"], gs.motion_mask)
+    colors = skinning_colors(d["nn_idx"], d["nn_weight"], skel.net.n_joints)
+    alive = np.asarray(gs.alive)
+    write_colored_pointcloud_ply(
+        path, np.asarray(gs.xyz + d["d_xyz"])[alive], np.asarray(colors)[alive]
+    )
+
+
 def render_rigged(
     gs,
     skel: SW.SkeletonWarp,

@@ -50,7 +50,7 @@ def render(
     mean2d_bias: jax.Array | None = None,
     rasterizer: str = "tiled",
     max_per_tile: int = 1024,
-    blend: str = "jnp",
+    blend: str = "auto",
 ) -> dict[str, Any]:
     means3d = gs.xyz + d_xyz
     if scale_const is not None:

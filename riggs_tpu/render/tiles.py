@@ -129,15 +129,18 @@ def rasterize_tiled(
     tile_chunk: int = 64,
     mean2d_bias: jax.Array | None = None,
     binning: str = "sort",
-    blend: str = "jnp",
+    blend: str = "auto",
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
     binning='sort' uses the global key-sort binner (fast path);
     binning='dense' the exact dense-mask compaction (oracle-parity reference).
     blend='pallas' runs the fused VMEM-resident Pallas blend kernel with its
-    analytic backward; 'jnp' the XLA scan path.
+    analytic backward; 'jnp' the XLA scan path; 'auto' picks pallas on TPU
+    and jnp on CPU (interpret-mode pallas is test-only).
     """
+    if blend == "auto":
+        blend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
     from riggs_tpu.render.binning import bin_gaussians_sorted
 
     if cov3d is None:

@@ -565,11 +565,22 @@ def train_stage1(
     frames = scene.train_frames
     ti = scene.time_interval
     history = []
+    from riggs_tpu.train.sampling import FrameSampler
+
+    sampler = FrameSampler(frames, rng)
 
     # ---- phase A --------------------------------------------------------
     use_ref_points = frames[0].reference_points is not None
     for it in range(o.iterations_node_rendering):
-        frame = frames[rng.integers(len(frames))]
+        frame = frames[
+            sampler.sample(
+                it,
+                o.progressive_train_node,
+                o.progressive_stage_ratio,
+                o.progressive_stage_steps,
+                warmup_until=o.node_warm_up if o.progressive_train_node else 0,
+            )
+        ]
         key, sk = jax.random.split(key)
         lrs_node = _to_device_lrs(gauss_lrs(it))
         lrs_warp = _to_device_lrs(warp_lrs(it))
@@ -624,8 +635,11 @@ def train_stage1(
         state = finalize_nodes(state)
 
     # ---- phase B --------------------------------------------------------
+    sampler = FrameSampler(frames, rng)
     for it in range(o.iterations):
-        frame = frames[rng.integers(len(frames))]
+        frame = frames[
+            sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
+        ]
         key, sk = jax.random.split(key)
         lam_arap = S.landmark_interpolate(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
         lam_motion = S.landmark_interpolate(

@@ -294,6 +294,34 @@ def stage2_step(
     return new_state, metrics
 
 
+@jax.jit
+def _eval_image(gs, skel, cam, t, bg):
+    d = SW.skeleton_forward(skel, gs.xyz, t, gs.motion_mask)
+    out = render(
+        cam,
+        gs,
+        bg,
+        d_xyz=d["d_xyz"],
+        d_rotation=d["d_rotation"],
+        d_scaling=jnp.zeros_like(d["d_scaling"]),
+        active_sh_degree=gs.max_sh_degree,
+        max_per_tile=512,
+    )
+    return out["render"]
+
+
+def evaluate_stage2(state: Stage2State, test_frames, bg) -> dict:
+    """Held-out metric bundle over the test split (skeleton_training_report,
+    /root/reference/train_utils.py:151-243)."""
+    from riggs_tpu.eval.metrics import evaluate_image
+
+    rows = []
+    for f in test_frames:
+        img = _eval_image(state.gs, state.skel, f.cam, f.fid, bg)
+        rows.append(evaluate_image(img, f.image))
+    return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} if rows else {}
+
+
 def train_stage2(
     stage1_state,
     scene: SceneData,
@@ -301,6 +329,9 @@ def train_stage2(
     seed: int = 0,
     log_every: int = 0,
     step_callback=None,
+    test_every: int = 0,
+    model_path=None,
+    logger=None,
 ):
     o = cfg.opt
     key = jax.random.PRNGKey(seed)
@@ -324,9 +355,13 @@ def train_stage2(
     pre_d_xyz = jnp.asarray(info.d_xyz)
     pre_d_joints = jnp.asarray(info.d_joints)
     history = []
+    best_psnr = -1.0
+    from riggs_tpu.train.sampling import FrameSampler
+
+    sampler = FrameSampler(frames, rng)
 
     for it in range(o.iterations):
-        uid = int(rng.integers(len(frames)))
+        uid = sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
         frame = frames[uid]
         warm = it < o.skeleton_warm_up
         # staged unlocking + control-node FPS reset (train_rig.py:398-408)
@@ -390,10 +425,23 @@ def train_stage2(
         if log_every and it % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append((it, m))
+            if logger is not None:
+                logger.scalars(it, "train_skeleton", m)
             print(
                 f"[S2 {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}"
                 + (" (warm)" if warm else "")
             )
+        if test_every and it > 0 and it % test_every == 0 and scene.test_frames:
+            means = evaluate_stage2(state, scene.test_frames, bg)
+            print("[S2 %d] test: " % it + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            if logger is not None:
+                logger.scalars(it, "test", means)
+            if means.get("psnr", 0.0) > best_psnr and model_path is not None:
+                best_psnr = means["psnr"]
+                from riggs_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(model_path, it, state, gs=state.gs)
+                print(f"[S2 {it}] new best psnr {best_psnr:.3f} — checkpoint saved")
         if step_callback is not None:
             step_callback(state, it)
     return state, info, history

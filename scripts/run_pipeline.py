@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
+    ap.add_argument("--test_every", type=int, default=1000)
+    ap.add_argument("--tensorboard", action="store_true")
     add_config_args(ap)
     args = ap.parse_args()
     if args.platform:
@@ -81,8 +83,21 @@ def main():
 
     if args.stage in ("2", "both"):
         t0 = time.time()
-        s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500,
-                                       step_callback=s2_cb if args.viewer_port else None)
+        logger = None
+        if args.tensorboard:
+            from riggs_tpu.train.logging import TrainLogger
+
+            logger = TrainLogger(model_path / "tb")
+        s2, info, hist2 = train_stage2(
+            s1,
+            scene,
+            cfg,
+            log_every=500,
+            step_callback=s2_cb if args.viewer_port else None,
+            test_every=args.test_every,
+            model_path=model_path / "rig",
+            logger=logger,
+        )
         print(f"stage 2 done in {time.time() - t0:.0f}s")
         save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
         write_skeleton_obj(model_path / "skeleton.obj", info.joints, info.parents)
