@@ -186,27 +186,29 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     dpower = draw * raw
     exppow = jnp.where(power > 0.0, 0.0, jnp.exp(power))
 
-    onesP = jnp.ones((P_TILE, 1), jnp.float32)
+    ones1P = jnp.ones((1, P_TILE), jnp.float32)
 
-    def rowsum(x):  # (G, P) -> (G, 1)
-        return jnp.dot(x, onesP, preferred_element_type=jnp.float32)
+    def rowsum_row(x):  # (G, P) -> (1, G), directly in output-row layout
+        return jax.lax.dot_general(
+            ones1P, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    d_op = rowsum(draw * exppow)
-    d_ca = rowsum(-0.5 * dx * dx * dpower)
-    d_cb = rowsum(-dx * dy * dpower)
-    d_cc = rowsum(-0.5 * dy * dy * dpower)
-    d_mx = rowsum((ca * dx + cb * dy) * dpower)
-    d_my = rowsum((cc * dy + cb * dx) * dpower)
+    d_mx = rowsum_row((ca * dx + cb * dy) * dpower)
+    d_my = rowsum_row((cc * dy + cb * dx) * dpower)
+    d_ca = rowsum_row(-0.5 * dx * dx * dpower)
+    d_cb = rowsum_row(-dx * dy * dpower)
+    d_cc = rowsum_row(-0.5 * dy * dy * dpower)
+    d_op = rowsum_row(draw * exppow)
 
-    dgt = jnp.concatenate(
+    G = alpha.shape[0]
+    dg_ref[0] = jnp.concatenate(
         [
             d_mx, d_my, d_ca, d_cb, d_cc, d_op,
-            dvg[0:1].T, dvg[1:2].T, dvg[2:3].T, dvg[3:4].T,
-            jnp.zeros((G, PACK_ROWS - 10), jnp.float32),
+            dvg[0:1], dvg[1:2], dvg[2:3], dvg[3:4],
+            jnp.zeros((PACK_ROWS - 10, G), jnp.float32),
         ],
-        axis=1,
-    )  # (G, 16)
-    dg_ref[0] = dgt.T  # (16, G)
+        axis=0,
+    )  # (16, G) — rows assembled in place, no transposes
 
     suffix[0:1, :] = suffix[0:1, :] + jnp.sum(s, axis=0, keepdims=True)
 

@@ -84,6 +84,7 @@ def main():
         capacity=cfg.model.capacity,
         max_sh_degree=cfg.model.sh_degree,
         isotropic=cfg.model.use_isotropic_gs,
+        with_motion_mask=cfg.model.gs_with_motion_mask,
     )
     skel = SW.init_skeleton_warp(
         jax.random.PRNGKey(0),

@@ -33,10 +33,18 @@ def main():
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
     ap.add_argument("--test_every", type=int, default=1000)
     ap.add_argument("--tensorboard", action="store_true")
+    ap.add_argument(
+        "--detect_anomaly",
+        action="store_true",
+        help="jax_debug_nans: fail loudly at the op producing the first NaN "
+        "(the torch.autograd.set_detect_anomaly equivalent)",
+    )
     add_config_args(ap)
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
     model_path = Path(cfg.model.model_path or "output/run")
     model_path.mkdir(parents=True, exist_ok=True)

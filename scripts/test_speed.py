@@ -45,6 +45,7 @@ def main():
             sorted((mp / "rig" / "point_cloud").glob("iteration_*/point_cloud.ply"))[-1],
             capacity=cfg.model.capacity,
             max_sh_degree=cfg.model.sh_degree,
+            with_motion_mask=cfg.model.gs_with_motion_mask,
         )
         skel = SW.init_skeleton_warp(jax.random.PRNGKey(0), joints, parents)
         from riggs_tpu.camera.orbit import OrbitCamera

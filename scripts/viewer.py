@@ -35,7 +35,8 @@ def main():
     joints, parents, indices, template_idx = load_skeleton_tree(model_path)
     ply = sorted((model_path / "rig" / "point_cloud").glob("iteration_*/point_cloud.ply"))[-1]
     gs = load_gaussians_ply(ply, capacity=cfg.model.capacity, max_sh_degree=cfg.model.sh_degree,
-                            isotropic=cfg.model.use_isotropic_gs)
+                            isotropic=cfg.model.use_isotropic_gs,
+                            with_motion_mask=cfg.model.gs_with_motion_mask)
     skel = SW.init_skeleton_warp(
         jax.random.PRNGKey(0), joints, parents, K=cfg.opt.skeleton_weight_knn,
         use_skinning_mlp=cfg.model.use_skinning_weight_mlp,
