@@ -229,6 +229,72 @@ def warp_forward(
     return out
 
 
+def p2dR(warp: NodeWarp, p: jax.Array, p0: jax.Array, K: int = 8) -> jax.Array:
+    """Estimate per-node rotations from displaced node positions via
+    trajectory-KNN weighted Procrustes (time_utils.py:1044-1078, 'trajectory'
+    mode): neighbors are nearest in flattened-trajectory space, edge fans from
+    p0 to p give the best-fit rotation. Returns (M, 4) quats."""
+    from riggs_tpu.ops.geometry import fit_rotations
+    from riggs_tpu.ops.quaternion import rotmat_to_quat
+
+    traj = get_trajectory(warp, t_samp_num=4).reshape(warp.node_num, -1)
+    d2, idx = knn(traj, traj, K + 1)
+    d2, idx = d2[:, 1:], idx[:, 1:]
+    w = jax.nn.softmax(d2 / jnp.mean(d2), axis=-1)
+    e0 = p0[idx] - p0[:, None]
+    e1 = p[idx] - p[:, None]
+    n = lambda e: e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-5)
+    cov = jnp.einsum("nka,nk,nkb->nab", n(e1), w, n(e0))
+    return rotmat_to_quat(fit_rotations(cov))
+
+
+def warp_forward_animated(
+    warp: NodeWarp,
+    x: jax.Array,
+    t: jax.Array,
+    feature: jax.Array | None,
+    motion_mask: jax.Array,
+    node_trans_bias: jax.Array,
+    K: int = 8,
+    temperature: float = 1e-3,
+) -> dict:
+    """Animation path (time_utils.py:1197-1222): after editing/dragging moves
+    the posed nodes by ``node_trans_bias``, re-bind each Gaussian to the posed
+    nodes by geodesic (floyd) KNN, estimate node rotation deltas with p2dR,
+    and rigidly carry the Gaussians with their nodes — used to drag/animate a
+    stage-1 model without retraining."""
+    base = warp_forward(warp, x, t, feature, motion_mask)
+    cur_node = jax.lax.stop_gradient(warp.nodes[:, :3] + node_deform(warp, t)["d_xyz"])
+    cur_gs = jax.lax.stop_gradient(x + base["d_xyz"])
+
+    # geodesic KNN weights to the posed nodes (cal_nn_weight_floyd semantics)
+    dist_mat = A.geodesic_floyd(cur_node, K=3)
+    d2_g, idx_g = knn(cur_gs, cur_node, 1)
+    nn1 = idx_g[:, 0]
+    geo = dist_mat[nn1] + jnp.sqrt(jnp.maximum(d2_g, 0.0))  # (N, M)
+    neg, cur_idx = jax.lax.top_k(-geo, K)
+    cur_w = jax.nn.softmax(neg / temperature, axis=-1)
+
+    nodes_t = cur_node + node_trans_bias
+    rot_bias = jnp.asarray(ROT_BIAS)
+    node_rot_bias = p2dR(warp, nodes_t, cur_node, K=8)
+    Rb = quat_to_rotmat(node_rot_bias)
+
+    gs_t = nodes_t[cur_idx] + jnp.einsum(
+        "gkab,gkb->gka", Rb[cur_idx], cur_gs[:, None] - cur_node[cur_idx]
+    )
+    gs_avg = jnp.sum(gs_t * cur_w[..., None], axis=1)
+    d_rotation_bias = (
+        jnp.sum(node_rot_bias[cur_idx] * cur_w[..., None], axis=1) - rot_bias
+    ) * motion_mask + rot_bias
+
+    out = dict(base)
+    out["d_xyz"] = (gs_avg - x) * motion_mask
+    out["d_rotation_bias"] = d_rotation_bias
+    out["d_nodes"] = nodes_t
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Trajectory regularizers (time_utils.py:1035-1120)
 # ---------------------------------------------------------------------------
