@@ -93,7 +93,8 @@ def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
     t = pl.program_id(0)
     c = pl.program_id(1)
     tiles_x = scalars_ref[0]
-    count_t = scalars_ref[1 + t]
+    t_global = t + scalars_ref[1]  # shard offset (tile-parallel rendering)
+    count_t = scalars_ref[2 + t]
 
     @pl.when(c == 0)
     def _():
@@ -110,7 +111,7 @@ def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
 
     @pl.when(active)
     def _():
-        px, py = _pixel_coords(t, tiles_x)
+        px, py = _pixel_coords(t_global, tiles_x)
         gt = g_ref[0].T  # (G, 16)
         alpha, *_ = _alphas(gt, px, py)
         lg = jnp.log1p(-alpha)  # alpha <= 0.99 -> finite
@@ -135,7 +136,8 @@ def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
         suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
 
     tiles_x = scalars_ref[0]
-    count_t = scalars_ref[1 + t]
+    t_global = t + scalars_ref[1]
+    count_t = scalars_ref[2 + t]
     C = pl.num_programs(1)
     c = C - 1 - crev
     t_entry = tentry_ref[0, pl.ds(c, 1), :]  # (1, P)
@@ -147,11 +149,11 @@ def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
 
     @pl.when(active)
     def _():
-        _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
+        _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t_global, tiles_x, t_entry)
 
 
 def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry):
-    px, py = _pixel_coords(t, tiles_x)
+    px, py = _pixel_coords(t, tiles_x)  # t is already global here
     gt = g_ref[0].T  # (G, 16)
     alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
     dC = dout_ref[0]  # (8, P)
@@ -267,17 +269,23 @@ def pallas_blend(g_packed: jax.Array, counts: jax.Array, tiles_x: int, interpret
     return out
 
 
-def _scalars(counts, tiles_x):
+def _scalars(counts, tiles_x, tile_offset):
     return jnp.concatenate(
-        [jnp.asarray([tiles_x], jnp.int32), counts.astype(jnp.int32)]
+        [
+            jnp.asarray([tiles_x], jnp.int32),
+            jnp.asarray(tile_offset, jnp.int32).reshape(1),
+            counts.astype(jnp.int32),
+        ]
     )
 
 
-def _pallas_blend_fwd(g_packed, counts, tiles_x, interpret):
+def _pallas_blend_fwd(g_packed, counts, tiles_x, interpret, tile_offset=0):
     T, R, MAX = g_packed.shape
     assert R == PACK_ROWS and MAX % G_CHUNK == 0
     C = MAX // G_CHUNK
-    out, tentry = _make_fwd(T, C, tiles_x, interpret)(_scalars(counts, tiles_x), g_packed)
+    out, tentry = _make_fwd(T, C, tiles_x, interpret)(
+        _scalars(counts, tiles_x, tile_offset), g_packed
+    )
     return out, (g_packed, counts, tentry)
 
 
@@ -286,9 +294,39 @@ def _pallas_blend_bwd(tiles_x, interpret, res, dout):
     T, R, MAX = g_packed.shape
     C = MAX // G_CHUNK
     (dg,) = _make_bwd(T, C, tiles_x, interpret)(
-        _scalars(counts, tiles_x), g_packed, tentry, dout
+        _scalars(counts, tiles_x, 0), g_packed, tentry, dout
     )
     return (dg, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_blend_offset(g_packed, counts, tile_offset, tiles_x: int, interpret: bool = False):
+    """pallas_blend with a dynamic global tile offset — the per-shard call of
+    the tile-parallel (pixel-sharded) renderer (parallel/render.py)."""
+    out, _ = _pb_off_fwd(g_packed, counts, tile_offset, tiles_x, interpret)
+    return out
+
+
+def _pb_off_fwd(g_packed, counts, tile_offset, tiles_x, interpret):
+    T, R, MAX = g_packed.shape
+    C = MAX // G_CHUNK
+    out, tentry = _make_fwd(T, C, tiles_x, interpret)(
+        _scalars(counts, tiles_x, tile_offset), g_packed
+    )
+    return out, (g_packed, counts, tile_offset, tentry)
+
+
+def _pb_off_bwd(tiles_x, interpret, res, dout):
+    g_packed, counts, tile_offset, tentry = res
+    T, R, MAX = g_packed.shape
+    C = MAX // G_CHUNK
+    (dg,) = _make_bwd(T, C, tiles_x, interpret)(
+        _scalars(counts, tiles_x, tile_offset), g_packed, tentry, dout
+    )
+    return (dg, None, None)
+
+
+pallas_blend_offset.defvjp(_pb_off_fwd, _pb_off_bwd)
 
 
 pallas_blend.defvjp(_pallas_blend_fwd, _pallas_blend_bwd)
