@@ -21,6 +21,10 @@ def load_scene(source_path: str | Path, white_background: bool = False, resoluti
         from riggs_tpu.data.zju import load_zju_scene
 
         return load_zju_scene(p, white_background=white_background, **kwargs)
+    if (p / "dataset.json").exists():
+        from riggs_tpu.data.nerfies import load_nerfies_scene
+
+        return load_nerfies_scene(p, white_background=white_background, **kwargs)
     if (p / "sparse").exists():
         from riggs_tpu.data.colmap import load_colmap_scene
 
