@@ -332,11 +332,26 @@ def train_stage2(
     test_every: int = 0,
     model_path=None,
     logger=None,
+    resume: bool = False,
 ):
     o = cfg.opt
     key = jax.random.PRNGKey(seed)
     key, ik = jax.random.split(key)
     state, info, frames = init_stage2(ik, stage1_state, scene, cfg)
+    start_it = 0
+    if resume and model_path is not None:
+        # reference resume semantics (train_rig.py:61-75): continue from the
+        # latest checkpoint when one exists past the warmup; else re-init
+        from riggs_tpu.io.checkpoint import load_checkpoint
+
+        try:
+            state, start_it = load_checkpoint(model_path, state)
+            if start_it < o.skeleton_warm_up:
+                raise FileNotFoundError("checkpoint inside warmup; re-initializing")
+            print(f"resumed stage-2 from iteration {start_it}")
+        except (FileNotFoundError, ValueError, KeyError) as e:
+            print(f"no resumable stage-2 checkpoint ({e}); training from scratch")
+            start_it = 0
     bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
     rng = np.random.default_rng(seed)
 
@@ -360,7 +375,7 @@ def train_stage2(
 
     sampler = FrameSampler(frames, rng)
 
-    for it in range(o.iterations):
+    for it in range(start_it, o.iterations):
         uid = sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
         frame = frames[uid]
         warm = it < o.skeleton_warm_up

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
     ap.add_argument("--test_every", type=int, default=1000)
     ap.add_argument("--tensorboard", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="continue stage 2 from the latest checkpoint")
     ap.add_argument(
         "--detect_anomaly",
         action="store_true",
@@ -50,7 +51,7 @@ def main():
     model_path.mkdir(parents=True, exist_ok=True)
     cfg.save(model_path / "cfg.json")
 
-    from riggs_tpu.data.blender import load_blender_scene
+    from riggs_tpu.data.scene import load_scene
     from riggs_tpu.data.synthetic import make_scene_data
     from riggs_tpu.io.checkpoint import save_checkpoint, save_skeleton_tree
     from riggs_tpu.io.obj import write_skeleton_obj
@@ -62,7 +63,8 @@ def main():
             n_train=16, n_test=4, width=args.synthetic_size, height=args.synthetic_size
         )
     else:
-        scene = load_blender_scene(
+        # type-sniffing dispatch: blender/D-NeRF, ZJU, nerfies, COLMAP
+        scene = load_scene(
             cfg.model.source_path,
             white_background=cfg.model.white_background,
             resolution=max(cfg.model.resolution, 1),
@@ -105,6 +107,7 @@ def main():
             test_every=args.test_every,
             model_path=model_path / "rig",
             logger=logger,
+            resume=args.resume,
         )
         print(f"stage 2 done in {time.time() - t0:.0f}s")
         save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
