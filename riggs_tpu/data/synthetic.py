@@ -162,6 +162,7 @@ def make_scene_data(
     seed: int = 0,
     max_thinned: int = 256,
     n_init_points: int = 300,
+    render_gt: bool = True,
 ):
     """A full SceneData with masks + thinned 2D skeletons, D-NeRF style."""
     from riggs_tpu.data.dataset import Frame, SceneData, pad_thinned, thin_mask_skeleton
@@ -179,6 +180,19 @@ def make_scene_data(
             cam = dataclasses.replace(
                 cams[(i + cam_offset) % n_cams], fid=jnp.asarray(t, jnp.float32)
             )
+            if not render_gt:
+                # cameras/shapes only (driver compile checks) — skip the
+                # oracle GT rendering entirely
+                frames.append(
+                    Frame(
+                        cam=cam,
+                        image=jnp.zeros((height, width, 3)),
+                        alpha_mask=jnp.zeros((height, width)),
+                        thinned=jnp.zeros((max_thinned, 2)),
+                        thinned_mask=jnp.zeros(max_thinned, bool),
+                    )
+                )
+                continue
             pts = deform_points(fig, pose_at_time(fig, t))
             n = pts.shape[0]
             out = rasterize_oracle(
