@@ -135,6 +135,23 @@ def camera_center(cam: Camera) -> jax.Array:
     return -cam.w2c[:3, :3].T @ cam.w2c[:3, 3]
 
 
+def depth2normal(cam: Camera, depth: jax.Array) -> jax.Array:
+    """Per-pixel normals from a depth map via central differences of the
+    backprojected point cloud (reference utils/other_utils.py:78 depth2normal).
+    depth: (H, W) view-space z -> (H, W, 3) unit normals in view space."""
+    H, W = depth.shape
+    fx, fy, cx, cy = cam.intrinsics
+    xs = (jnp.arange(W, dtype=jnp.float32) - cx + 0.5) / fx
+    ys = (jnp.arange(H, dtype=jnp.float32) - cy + 0.5) / fy
+    pts = jnp.stack(
+        [xs[None, :] * depth, ys[:, None] * depth, depth], axis=-1
+    )  # (H, W, 3) view-space positions
+    dx = jnp.gradient(pts, axis=1)
+    dy = jnp.gradient(pts, axis=0)
+    n = jnp.cross(dx, dy)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+
+
 def project_nodes_2d(cam: Camera, nodes: jax.Array) -> jax.Array:
     """Project nodes to (row, col) pixel coordinates for the thinned-skeleton
     chamfer loss. Matches /root/reference/utils/other_utils.py:101-127 exactly:
