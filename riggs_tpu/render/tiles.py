@@ -130,6 +130,7 @@ def rasterize_tiled(
     mean2d_bias: jax.Array | None = None,
     binning: str = "sort",
     blend: str = "auto",
+    max_tiles_per_gaussian: int = 16,
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
@@ -149,8 +150,13 @@ def rasterize_tiled(
         cov3d = build_cov3d_packed(scales, rotations, scale_modifier)
     max_per_tile = -(-max_per_tile // G_CHUNK) * G_CHUNK  # multiple of the scan chunk
     proj = project_gaussians(cam, means3d, cov3d, alive, mean2d_bias)
-    bin_fn = bin_gaussians_sorted if binning == "sort" else bin_gaussians
-    bins = bin_fn(proj, cam.width, cam.height, max_per_tile=max_per_tile)
+    if binning == "sort":
+        bins = bin_gaussians_sorted(
+            proj, cam.width, cam.height, max_per_tile=max_per_tile,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+        )
+    else:
+        bins = bin_gaussians(proj, cam.width, cam.height, max_per_tile=max_per_tile)
 
     # one packed gather instead of five (HBM-gather bound at large N)
     op_masked = jnp.where(proj.mask, opacity, 0.0)
