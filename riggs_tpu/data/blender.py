@@ -47,6 +47,7 @@ def read_transforms(
         key=lambda x: int(Path(x["file_path"]).name.split(".")[0].split("_")[-1]),
     )
     frames = []
+    names = []
     for idx, fr in enumerate(frames_json):
         fp = fr["file_path"]
         img_path = path / (fp if fp.endswith((".png", ".jpg")) else fp + ".png")
@@ -97,7 +98,8 @@ def read_transforms(
                 semantic_seg=seg,
             )
         )
-    return frames
+        names.append(name)
+    return frames, names
 
 
 def load_blender_scene(
@@ -111,10 +113,12 @@ def load_blender_scene(
     """Full D-NeRF scene: train + test transforms + random init cloud
     (dataset_readers.py readNerfSyntheticInfo)."""
     path = Path(path)
-    train = read_transforms(path, "transforms_train.json", white_background, resolution, max_thinned)
+    train, train_names = read_transforms(
+        path, "transforms_train.json", white_background, resolution, max_thinned
+    )
     test_file = path / "transforms_test.json"
     test = (
-        read_transforms(path, "transforms_test.json", white_background, resolution, max_thinned)
+        read_transforms(path, "transforms_test.json", white_background, resolution, max_thinned)[0]
         if test_file.exists()
         else []
     )
@@ -133,4 +137,5 @@ def load_blender_scene(
         cameras_extent=compute_scene_extent([f.cam for f in train]),
         is_blender=True,
         white_background=white_background,
+        train_image_names=train_names,
     )

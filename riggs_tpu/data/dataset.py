@@ -76,6 +76,9 @@ class SceneData:
     cameras_extent: float
     is_blender: bool = True
     white_background: bool = False
+    # per-train-frame image names (flow-file matching, raft_neighbouring/
+    # layout keys off them — /root/reference/scene/__init__.py:87-91)
+    train_image_names: list[str] | None = None
 
     @property
     def time_interval(self) -> float:

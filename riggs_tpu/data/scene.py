@@ -25,8 +25,20 @@ def load_scene(source_path: str | Path, white_background: bool = False, resoluti
         from riggs_tpu.data.nerfies import load_nerfies_scene
 
         return load_nerfies_scene(p, white_background=white_background, **kwargs)
-    if (p / "sparse").exists():
+    if (p / "sparse").exists() or (p / "colmap_sparse").exists():
         from riggs_tpu.data.colmap import load_colmap_scene
 
         return load_colmap_scene(p, resolution=max(resolution, 1), **kwargs)
+    if (p / "cameras_sphere.npz").exists():
+        from riggs_tpu.data.more_readers import load_dtu_scene
+
+        return load_dtu_scene(p, white_background=white_background, **kwargs)
+    if (p / "poses_bounds.npy").exists():
+        from riggs_tpu.data.more_readers import load_plenoptic_scene
+
+        return load_plenoptic_scene(p, white_background=white_background, **kwargs)
+    if (p / "train_meta.json").exists():
+        from riggs_tpu.data.more_readers import load_cmu_scene
+
+        return load_cmu_scene(p, white_background=white_background, **kwargs)
     raise FileNotFoundError(f"could not infer scene type for {source_path}")

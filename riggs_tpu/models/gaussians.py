@@ -304,9 +304,23 @@ def add_densification_stats(
     screen_grad: jax.Array,
     radii: jax.Array,
     visible: jax.Array,
+    width: int | None = None,
+    height: int | None = None,
 ) -> DensifyStats:
-    """Accumulate the norm of screen-space mean gradients for visible splats."""
-    gnorm = jnp.linalg.norm(screen_grad[:, :2], axis=-1)
+    """Accumulate the norm of screen-space mean gradients for visible splats.
+
+    ``screen_grad`` is dL/d(mean2d) in PIXEL units (mean2d_bias is added to
+    pixel coordinates in render/project.py). The reference CUDA rasterizer
+    returns dL_dmean2D in the NDC convention (ddelx_dx = 0.5*W in
+    backward.cu), and densify_grad_threshold=0.0002 is calibrated to that
+    scale — so convert pixel-space grads by 0.5*[W, H] before accumulating.
+    Pass the render width/height; omitting them keeps raw pixel units (only
+    for callers that rescaled the threshold themselves).
+    """
+    g = screen_grad[:, :2]
+    if width is not None:
+        g = g * jnp.asarray([0.5 * width, 0.5 * height], dtype=g.dtype)
+    gnorm = jnp.linalg.norm(g, axis=-1)
     return DensifyStats(
         xyz_gradient_accum=stats.xyz_gradient_accum + jnp.where(visible, gnorm, 0.0),
         denom=stats.denom + visible.astype(jnp.float32),

@@ -75,7 +75,10 @@ def mlp_deform_step(
     (loss, out), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
     new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
     new_d_p, opt_d = O.adam_update(gp["deform"], state.opt_deform, params["deform"], lrs_deform)
-    stats = G.add_densification_stats(state.stats, gm2b, out["radii"], out["visibility_filter"])
+    stats = G.add_densification_stats(
+        state.stats, gm2b, out["radii"], out["visibility_filter"],
+        frame.cam.width, frame.cam.height,
+    )
     new_state = MlpDeformState(
         gs=state.gs.replace_params(new_gs_p),
         deform=state.deform.replace_params(new_d_p) if not warm else state.deform,

@@ -212,7 +212,10 @@ def phase_a_step(
     (loss, (out, aux)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
     new_node_p, opt_node = O.adam_update(gp["node_gs"], state.opt_node, params["node_gs"], lrs_node)
     new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)
-    stats = G.add_densification_stats(state.stats_node, gm2b, out["radii"], out["visibility_filter"])
+    stats = G.add_densification_stats(
+        state.stats_node, gm2b, out["radii"], out["visibility_filter"],
+        frame.cam.width, frame.cam.height,
+    )
     new_state = dataclasses.replace(
         state,
         node_gs=state.node_gs.replace_params(new_node_p),
@@ -527,7 +530,10 @@ def phase_b_step(
     (loss, (out, aux)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
     new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
     new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)
-    stats = G.add_densification_stats(state.stats_gs, gm2b, out["radii"], out["visibility_filter"])
+    stats = G.add_densification_stats(
+        state.stats_gs, gm2b, out["radii"], out["visibility_filter"],
+        frame.cam.width, frame.cam.height,
+    )
     new_state = dataclasses.replace(
         state,
         gs=state.gs.replace_params(new_gs_p),
@@ -554,6 +560,7 @@ def train_stage1(
     eval_every: int = 0,
     eval_fn=None,
     step_callback=None,
+    source_path: str | None = None,
 ):
     o = cfg.opt
     key = jax.random.PRNGKey(seed)
@@ -635,17 +642,40 @@ def train_stage1(
         state = finalize_nodes(state)
 
     # ---- phase B --------------------------------------------------------
+    # RAFT flow files (raft_neighbouring/, scene/__init__.py:87-91): sample a
+    # random partner's flow each step and attach it to the frame pytree
+    flow_store = None
+    if source_path is not None and scene.train_image_names is not None:
+        from riggs_tpu.data.flow import FlowStore
+
+        fs = FlowStore(
+            source_path, scene.train_image_names, [float(f.fid) for f in frames]
+        )
+        if any(fs.has_flow(i) for i in range(len(frames))):
+            flow_store = fs
+
     sampler = FrameSampler(frames, rng)
     for it in range(o.iterations):
-        frame = frames[
-            sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
-        ]
+        fidx = sampler.sample(
+            it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps
+        )
+        frame = frames[fidx]
         key, sk = jax.random.split(key)
         lam_arap = S.landmark_interpolate(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
         lam_motion = S.landmark_interpolate(
             o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
         )
         lam_flow = S.landmark_interpolate(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
+        if flow_store is not None and it >= o.warm_up and lam_flow > 0:
+            sampled = flow_store.sample(fidx, rng, frame.cam.height, frame.cam.width)
+            if sampled is not None:
+                fl, fm, pfid = sampled
+                frame = dataclasses.replace(
+                    frame,
+                    flow=jnp.asarray(fl),
+                    flow_mask=jnp.asarray(fm),
+                    flow_partner_fid=jnp.asarray(pfid),
+                )
         has_flow = frame.flow is not None and it >= o.warm_up and lam_flow > 0
         state, metrics = phase_b_step(
             state,

@@ -277,7 +277,10 @@ def stage2_step(
         new_gs_p, opt_gs = params["gs"], state.opt_gs
     else:
         new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
-    stats = G.add_densification_stats(state.stats_gs, gm2b, out["radii"], out["visibility_filter"])
+    stats = G.add_densification_stats(
+        state.stats_gs, gm2b, out["radii"], out["visibility_filter"],
+        frame.cam.width, frame.cam.height,
+    )
     proj_loss = state.proj_loss
     if "chamfer" in aux:
         proj_loss = proj_loss.at[uid].set(aux["chamfer"])

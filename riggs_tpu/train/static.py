@@ -88,7 +88,9 @@ def train_step(
     params = state.gs.params_dict()
     (loss, out), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)
     new_params, new_opt = O.adam_update(gp, state.opt, params, lrs)
-    new_stats = G.add_densification_stats(state.stats, gm2b, out["radii"], out["visibility_filter"])
+    new_stats = G.add_densification_stats(
+        state.stats, gm2b, out["radii"], out["visibility_filter"], cam.width, cam.height
+    )
     new_state = TrainState(gs=state.gs.replace_params(new_params), opt=new_opt, stats=new_stats)
     metrics = {
         "loss": loss,
@@ -99,7 +101,7 @@ def train_step(
     return new_state, metrics
 
 
-@partial(jax.jit, static_argnames=("percent_dense",))
+@partial(jax.jit, static_argnames=("percent_dense", "max_screen_size"))
 def densify_step(
     state: TrainState,
     key: jax.Array,
@@ -183,11 +185,15 @@ def train_static(
         )
         if o.densify_from_iter <= it < o.densify_until_iter and it % o.densification_interval == 0 and it > 0:
             key, sub = jax.random.split(key)
+            # big-splat pruning (screen-size 20 + 0.1*extent world prune)
+            # activates after the first opacity reset, mirroring
+            # /root/reference/train_gui.py:1190-1192
             state = densify_step(
                 state,
                 sub,
                 o.densify_grad_threshold,
                 scene_extent,
+                max_screen_size=20.0 if it > o.opacity_reset_interval else 0.0,
                 percent_dense=o.percent_dense,
             )
         if it > 0 and it % o.opacity_reset_interval == 0:

@@ -19,6 +19,15 @@ import jax
 # never touch the real chip.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: compile-heavy smoke tests (stage-1/2 trainers)
+# pay XLA:CPU compile cost once per source change instead of once per run.
+from pathlib import Path
+
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
