@@ -123,32 +123,66 @@ class LpipsModel:
         return cls(net=net, convs=convs, lins=lins)
 
     @classmethod
-    def from_torch_file(cls, backbone_path: str, lpips_path: str, net: str = "alex") -> "LpipsModel":
-        """Import torchvision backbone + lpips linear-head checkpoints."""
-        import torch
+    def from_torch_state_dicts(cls, sd: dict, lsd: dict, net: str = "alex") -> "LpipsModel":
+        """Build from in-memory torch state dicts (torchvision backbone +
+        lpips linear heads), keyed by LAYER NAME — not dict iteration order.
+
+        Backbone conv keys are ``[features.]<i>.weight`` (torchvision modules
+        and plain Sequential checkpoints both match); heads are
+        ``lin<i>[.model.<j>].weight`` as saved by the lpips package
+        (/root/reference/lpipsPyTorch/modules/lpips.py:8-37). Layers are
+        ordered by the embedded integer index, so permuting the dict cannot
+        scramble the mapping (round-1 advisor finding). Validated numerically
+        against a torch forward in tests/test_io_metrics.py."""
+        import re
+
+        def _np(v):
+            return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
         cfg = _ALEX_CFG if net == "alex" else _VGG_CFG
+        n_convs = sum(1 for c in cfg if c != "M")
+        conv_items = []
+        for k, v in sd.items():
+            m = re.match(r"^(?:features\.)?(\d+)\.weight$", k)
+            if m and _np(v).ndim == 4:
+                conv_items.append((int(m.group(1)), k, v))
+        conv_items.sort(key=lambda t: t[0])
+        if len(conv_items) < n_convs:
+            raise ValueError(
+                f"backbone state dict has {len(conv_items)} conv layers, need {n_convs}"
+            )
+        convs = []
+        for idx, wkey, w in conv_items[:n_convs]:
+            bkey = wkey[: -len("weight")] + "bias"
+            convs.append(
+                {
+                    # torch OIHW -> jax HWIO
+                    "w": jnp.asarray(_np(w).transpose(2, 3, 1, 0)),
+                    "b": jnp.asarray(_np(sd[bkey])),
+                }
+            )
+        lin_items = []
+        for k, v in lsd.items():
+            m = re.match(r"^lin(\d+)\b", k)
+            if m and _np(v).ndim == 4:
+                lin_items.append((int(m.group(1)), v))
+        lin_items.sort(key=lambda t: t[0])
+        lins = [jnp.asarray(_np(v).transpose(2, 3, 1, 0)) for _, v in lin_items]
+        taps = _ALEX_TAPS if net == "alex" else _VGG_TAPS
+        if len(lins) != len(taps):
+            raise ValueError(f"expected {len(taps)} linear heads, got {len(lins)}")
+        return cls(net=net, convs=convs, lins=lins)
+
+    @classmethod
+    def from_torch_file(cls, backbone_path: str, lpips_path: str, net: str = "alex") -> "LpipsModel":
+        """Import torchvision backbone + lpips linear-head checkpoint files."""
+        import torch
+
         sd = torch.load(backbone_path, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        conv_ws = [v for k, v in sd.items() if k.endswith("weight") and v.ndim == 4]
-        conv_bs = [v for k, v in sd.items() if k.endswith("bias") and v.ndim == 1]
-        convs = []
-        n_convs = sum(1 for c in cfg if c != "M")
-        for w, b in list(zip(conv_ws, conv_bs))[:n_convs]:
-            convs.append(
-                {
-                    "w": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
-                    "b": jnp.asarray(b.numpy()),
-                }
-            )
         lsd = torch.load(lpips_path, map_location="cpu")
-        lins = []
-        for k in sorted(lsd.keys()):
-            v = lsd[k]
-            if v.ndim == 4:  # (1, C, 1, 1)
-                lins.append(jnp.asarray(v.numpy().transpose(2, 3, 1, 0)))
-        return cls(net=net, convs=convs, lins=lins)
+        return cls.from_torch_state_dicts(sd, lsd, net=net)
 
     def _features(self, img: jax.Array) -> list[jax.Array]:
         """img: (B, H, W, 3) in [0, 1] -> list of tapped relu feature maps."""

@@ -51,7 +51,7 @@ def rasterize_tile_sharded(
     cov3d = build_cov3d_packed(scales, rotations)
     proj = project_gaussians(cam, means3d, cov3d, alive)
     bins = bin_gaussians_sorted(proj, cam.width, cam.height, max_per_tile=max_per_tile)
-    T = bins.didx.shape[0]
+    T = bins.idx.shape[0]
     pad_t = (-T) % n_shards
 
     op_masked = jnp.where(proj.mask, opacity, 0.0)

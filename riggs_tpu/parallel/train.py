@@ -33,65 +33,121 @@ def stack_frames(frames: list[Frame]) -> Frame:
 
 def make_dp_stage2_step(
     mesh: Mesh,
+    warm: bool = False,
     active_sh: int = 0,
-    lambda_dssim: float = 0.2,
-    max_per_tile: int = 256,
     enable_to: bool = True,
     enable_sm: bool = True,
+    use_chamfer: bool = False,
+    lambda_chamfer: float = 1e-3,
+    lambda_rendering: float = 1.0,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 256,
+    isotropic: bool = False,
 ):
     """Build a jitted frame-parallel stage-2 training step over ``mesh``.
 
-    The returned step(state, frame_batch, bg, lr) shards frame_batch over
-    'data', keeps state replicated, and all-reduces gradients implicitly.
+    This is the REAL stage-2 step (train_rig.py:386-533 semantics), not a
+    photometric demo slice: it carries the full loss set of
+    ``train.stage2.stage2_frame_loss`` (warmup distillation to the pretrained
+    deformation, robust per-frame-weighted 2D chamfer, template-offset and
+    template-fixed-pose losses), per-group LR schedules (``lrs_gs`` dict +
+    skeleton LR), densification-stat accumulation summed over the frame
+    batch, and the per-frame robust-chamfer loss-buffer update.
+
+    The returned step(state, frame_batch, uids, bg, lrs_gs, lrs_skel,
+    pre_d_xyz_b, pre_d_joints_b, lambda_to, lambda_tf) shards frame_batch /
+    uids / pre-deformation targets over 'data', keeps state replicated, and
+    all-reduces gradients implicitly through the mean over frames. With a
+    batch of B frames one step applies the mean gradient of B reference
+    steps; per-frame densification stats accumulate exactly as B sequential
+    reference iterations would (grads rescaled by B to undo the mean).
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
+    from riggs_tpu.train.stage2 import stage2_frame_loss
 
-    def per_frame_loss(params, state, frame: Frame, bg):
-        gs = state.gs.replace_params(params["gs"])
-        skel = state.skel.replace_params(params["skel"])
-        d = SW.skeleton_forward(
-            skel,
-            jax.lax.stop_gradient(gs.xyz),
-            frame.fid,
-            gs.motion_mask,
-            enable_template_offsets=enable_to,
-            enable_skinning_mlp=enable_sm,
-        )
-        out = render(
-            frame.cam,
-            gs,
-            bg,
-            d_xyz=d["d_xyz"],
-            d_rotation=d["d_rotation"],
-            d_scaling=jnp.zeros_like(d["d_scaling"]),
-            active_sh_degree=active_sh,
-            max_per_tile=max_per_tile,
-        )
-        return L.photometric_loss(out["render"], frame.image, lambda_dssim)
+    def loss_fn(params, state, frame_batch, uids, bg, m2b, pre_dx, pre_dj, lam_to, lam_tf):
+        def one(frame, uid, m2b_f, pdx, pdj, l_to, l_tf):
+            loss, (out, aux, _d) = stage2_frame_loss(
+                params, state, frame, uid, bg, m2b_f, pdx, pdj, l_to, l_tf,
+                lambda_chamfer=lambda_chamfer,
+                lambda_rendering=lambda_rendering,
+                warm=warm,
+                active_sh=active_sh,
+                enable_to=enable_to,
+                enable_sm=enable_sm,
+                use_chamfer=use_chamfer,
+                lambda_dssim=lambda_dssim,
+                max_per_tile=max_per_tile,
+                isotropic=isotropic,
+            )
+            per_frame = {
+                "radii": out["radii"],
+                "visible": out["visibility_filter"],
+                "psnr": L.psnr(out["render"], frame.image),
+                "chamfer": aux.get("chamfer", jnp.zeros(())),
+            }
+            return loss, per_frame
 
-    def loss_fn(params, state, frame_batch: Frame, bg):
-        losses = jax.vmap(lambda f: per_frame_loss(params, state, f, bg))(frame_batch)
-        return jnp.mean(losses)
+        losses, pf = jax.vmap(one)(frame_batch, uids, m2b, pre_dx, pre_dj, lam_to, lam_tf)
+        return jnp.mean(losses), pf
 
     @partial(
         jax.jit,
-        in_shardings=(repl, batch_sh, repl, repl),
+        in_shardings=(
+            repl, batch_sh, batch_sh, repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
+        ),
         out_shardings=(repl, repl),
     )
-    def step(state: Stage2State, frame_batch: Frame, bg, lr):
+    def step(
+        state: Stage2State,
+        frame_batch: Frame,
+        uids: jax.Array,
+        bg: jax.Array,
+        lrs_gs: dict,
+        lrs_skel,
+        pre_d_xyz_b: jax.Array,
+        pre_d_joints_b: jax.Array,
+        lambda_to: jax.Array,  # (B,) per-frame (template-frame 1e3 boost)
+        lambda_tf: jax.Array,  # (B,) per-frame (template frame only)
+    ):
+        B = uids.shape[0]
         params = {"gs": state.gs.params_dict(), "skel": state.skel.params_dict()}
-        loss, grads = jax.value_and_grad(loss_fn)(params, state, frame_batch, bg)
-        new_gs_p, opt_gs = O.adam_update(grads["gs"], state.opt_gs, params["gs"], lr)
-        new_skel_p, opt_skel = O.adam_update(grads["skel"], state.opt_skel, params["skel"], lr)
+        m2b = jnp.zeros((B,) + state.gs.xyz[:, :2].shape)
+        (loss, pf), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 5), has_aux=True)(
+            params, state, frame_batch, uids, bg, m2b, pre_d_xyz_b, pre_d_joints_b,
+            lambda_to, lambda_tf,
+        )
+        new_skel_p, opt_skel = O.adam_update(gp["skel"], state.opt_skel, params["skel"], lrs_skel)
+        if warm:
+            new_gs_p, opt_gs = params["gs"], state.opt_gs
+        else:
+            new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+        # densification stats: accumulate every frame of the batch (B reference
+        # iterations worth); d(mean)/dm2b[b] carries a 1/B factor — undo it
+        stats = state.stats_gs
+        for b in range(B):
+            stats = G.add_densification_stats(
+                stats,
+                gm2b[b] * B,
+                pf["radii"][b],
+                pf["visible"][b],
+                frame_batch.cam.width,
+                frame_batch.cam.height,
+            )
+        proj_loss = state.proj_loss
+        if use_chamfer:
+            proj_loss = proj_loss.at[uids].set(pf["chamfer"])
         new_state = dataclasses.replace(
             state,
             gs=state.gs.replace_params(new_gs_p),
             skel=state.skel.replace_params(new_skel_p),
             opt_gs=opt_gs,
             opt_skel=opt_skel,
+            stats_gs=stats,
+            proj_loss=proj_loss,
         )
-        return new_state, loss
+        return new_state, {"loss": loss, "psnr": jnp.mean(pf["psnr"])}
 
     return step
 

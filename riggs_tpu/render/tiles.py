@@ -206,14 +206,21 @@ def rasterize_tiled(
         return a[:H, :W]
 
     image = untile(rgb) + (1.0 - untile(acc[..., None])) * bg
-    overflow = jnp.sum(jnp.maximum(bins.count - max_per_tile, 0))
-    if bins.overflow is not None:
-        overflow = overflow + bins.overflow
+    # truncation diagnostics, split by which capacity knob fixes them:
+    #   overflow_tiles -> raise max_per_tile; overflow_rect -> raise
+    #   max_tiles_per_gaussian (the CUDA rasterizer has no such caps — it
+    #   duplicates unboundedly; render_auto() escalates to match)
+    overflow_tiles = jnp.sum(jnp.maximum(bins.count - max_per_tile, 0))
+    overflow_rect = (
+        bins.overflow if bins.overflow is not None else jnp.zeros((), jnp.int32)
+    )
     return dict(
         image=image,
         depth=untile(dep[..., None])[..., 0],
         alpha=untile(acc[..., None])[..., 0],
         radii=proj.radius,
         proj=proj,
-        overflow=overflow,
+        overflow=overflow_tiles + overflow_rect,
+        overflow_tiles=overflow_tiles,
+        overflow_rect=overflow_rect,
     )

@@ -120,6 +120,16 @@ class OptimizationConfig:
     lambda_deformed_node_prjection: float = 1e-3
     optimize_template_offsets_iters: int = 15000
     manually_key_frame: int = -1
+    # skeleton-extraction thresholds (reference literals at
+    # extract_skeleton_utils.py:319-423,257-301, exposed as knobs): leaf
+    # chains shorter than leaf_prune_hops are dropped, junctions within
+    # junction_merge_hops pass-through nodes are merged, and chains are
+    # polyline-simplified at simplify_dist_thres x avg-edge-length
+    skeleton_max_candidates: int = 200
+    skeleton_leaf_prune_hops: int = 4
+    skeleton_junction_merge_hops: int = 3
+    skeleton_simplify_dist_thres: float = 1.0
+    skeleton_simplify_max_edges: int = 3
 
 
 @dataclass

@@ -75,6 +75,76 @@ class TestViewerHTTP:
         finally:
             server.shutdown()
 
+    def test_edit_pose_retarget_endpoints(self, tmp_path):
+        """Round-trip the drag-edit / pose-library / playback / retarget API
+        (reference surface: interactive_GUI.py:1268 drag, :1216-1261 key-pose
+        SLERP playback, :449+ reference-skeleton retargeting)."""
+        import time
+        import urllib.request
+
+        import __graft_entry__ as g
+
+        def get(url):
+            return json.loads(urllib.request.urlopen(f"http://localhost:18932{url}").read())
+
+        scene, state = g._build_tiny_scene(width=48, height=48)
+        from riggs_tpu.viz.web_viewer import ViewerServer
+
+        v = ViewerServer(
+            state.gs, skel=state.skel, width=64, height=64,
+            pose_lib_path=tmp_path / "poses.json",
+        )
+        server = v.serve(port=18932, blocking=False)
+        try:
+            time.sleep(0.3)
+            # pose library: save two poses (one edited), list, SLERP playback
+            assert get("/pose/save?name=rest&t=0.0") == {"saved": "rest"}
+            assert get("/pose/save?name=bent&t=0.5&joint=1&angle=45") == {"saved": "bent"}
+            assert get("/pose/list") == ["bent", "rest"]
+            play = get("/pose/play?names=rest,bent&frames=4")
+            assert play["frames"] >= 4
+            png = urllib.request.urlopen("http://localhost:18932/render?seq=1").read()
+            assert png[:4] == b"\x89PNG"
+            assert get("/pose/clear") == {"ok": True}
+
+            # retargeting: drive this skeleton from a saved (src) skeleton dir
+            src = tmp_path / "src_model"
+            src.mkdir()
+            np.save(src / "_", np.zeros(1))  # ensure dir materialized
+            np.savez(src / "skeleton_tree.npz", joints=np.asarray(v.skel.joints))
+            (src / "poses.json").write_text((tmp_path / "poses.json").read_text())
+            out = get(f"/retarget?path={src}&name=bent")
+            assert out["joints_dst"] == int(np.asarray(v.skel.joints).shape[0])
+            urllib.request.urlopen("http://localhost:18932/render?t=0").read()
+            get("/pose/clear")
+
+            # drag-edit session: init -> pick a control point at its projected
+            # pixel -> drag -> the edited cloud renders and d_xyz is nonzero
+            init = get("/edit/init?n=32")
+            assert init["n_ctrl"] >= 1
+            from riggs_tpu.camera.camera import project_nodes_2d
+            import jax.numpy as jnp
+
+            cam = v._camera(0.0, 0.3, 3.0)
+            rc = np.asarray(project_nodes_2d(cam, jnp.asarray(v.edit.ctrl_rest)))
+            r0, c0 = float(rc[0, 0]), float(rc[0, 1])
+            pick = get(f"/edit/pick?x={c0}&y={r0}&az=0&el=0.3&r=3.0")
+            assert pick["picked"] >= 0 and pick["n_keypoints"] == 1
+            get("/edit/drag?dx=6&dy=0&az=0&el=0.3&r=3.0")
+            assert float(np.abs(v.edit.d_xyz).max()) > 0
+            png = urllib.request.urlopen("http://localhost:18932/render?mode=edited").read()
+            assert png[:4] == b"\x89PNG"
+            assert get("/edit/clear") == {"ok": True}
+            assert float(np.abs(v.edit.d_xyz).max()) == 0
+
+            # bad request -> 400 JSON error
+            import urllib.error
+
+            with pytest.raises(urllib.error.HTTPError):
+                get("/retarget?path=/nonexistent&name=x")
+        finally:
+            server.shutdown()
+
 
 class TestNerfiesReader:
     def test_roundtrip(self, tmp_path):

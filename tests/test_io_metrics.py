@@ -138,3 +138,78 @@ class TestMetrics:
         img = jnp.asarray(rng.uniform(size=(96, 96, 3)).astype(np.float32))
         out = evaluate_image(img, img)
         assert out["psnr"] > 50 and out["ssim"] > 0.99 and out["ms_ssim"] > 0.99
+
+
+class TestLpipsTorchImport:
+    """Numeric validation of the torch->JAX LPIPS importer (round-1 verdict
+    item 7): random-weight torchvision-layout state dicts, compared against a
+    torch forward of the same pipeline."""
+
+    def _torch_alex(self, seed=0):
+        import torch
+        import torch.nn as nn
+
+        torch.manual_seed(seed)
+        feats = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(2, 2),
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(2, 2),
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(),
+        )
+        lins = {
+            f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+            for i, c in enumerate([64, 192, 384, 256, 256])
+        }
+        return feats, lins
+
+    def test_importer_matches_torch_forward(self):
+        import torch
+
+        from riggs_tpu.eval.metrics import LpipsModel, _IMAGENET_SHIFT, _IMAGENET_SCALE
+
+        feats, lins = self._torch_alex()
+        sd = {f"features.{k}": v for k, v in feats.state_dict().items()}
+        model = LpipsModel.from_torch_state_dicts(sd, lins, net="alex")
+
+        rng = np.random.default_rng(0)
+        img1 = rng.random((64, 64, 3)).astype(np.float32)
+        img2 = np.clip(img1 + rng.normal(scale=0.05, size=img1.shape).astype(np.float32), 0, 1)
+        ours = float(model(jnp.asarray(img1), jnp.asarray(img2)))
+
+        def torch_feats(img):
+            x = torch.from_numpy(img.transpose(2, 0, 1))[None] * 2 - 1
+            shift = torch.from_numpy(_IMAGENET_SHIFT).view(1, 3, 1, 1)
+            scale = torch.from_numpy(_IMAGENET_SCALE).view(1, 3, 1, 1)
+            x = (x - shift) / scale
+            taps, out = {1, 4, 7, 9, 11}, []
+            for i, layer in enumerate(feats):
+                x = layer(x)
+                if i in taps:
+                    out.append(x)
+            return out
+
+        with torch.no_grad():
+            f1, f2 = torch_feats(img1), torch_feats(img2)
+            total = 0.0
+            for a, b, (lk, lw) in zip(f1, f2, sorted(lins.items())):
+                a = a / a.norm(dim=1, keepdim=True).clamp_min(1e-10)
+                b = b / b.norm(dim=1, keepdim=True).clamp_min(1e-10)
+                d = (a - b) ** 2
+                val = torch.nn.functional.conv2d(d, lw)
+                total += float(val.mean())
+        np.testing.assert_allclose(ours, total, rtol=1e-4, atol=1e-6)
+
+    def test_importer_is_order_independent(self):
+        from riggs_tpu.eval.metrics import LpipsModel
+
+        feats, lins = self._torch_alex()
+        sd = {f"features.{k}": v for k, v in feats.state_dict().items()}
+        scrambled = dict(reversed(list(sd.items())))
+        lins_scrambled = dict(reversed(list(lins.items())))
+        a = LpipsModel.from_torch_state_dicts(sd, lins, net="alex")
+        b = LpipsModel.from_torch_state_dicts(scrambled, lins_scrambled, net="alex")
+        for ca, cb in zip(a.convs, b.convs):
+            np.testing.assert_array_equal(np.asarray(ca["w"]), np.asarray(cb["w"]))
+        for la, lb in zip(a.lins, b.lins):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

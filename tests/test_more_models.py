@@ -47,6 +47,7 @@ class TestDQSkinning:
 
 
 class TestMlpDeformTrainer:
+    @pytest.mark.slow
     def test_converges(self, rng):
         from riggs_tpu.data.synthetic import make_scene_data
         from riggs_tpu.train.config import Config

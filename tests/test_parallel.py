@@ -29,6 +29,7 @@ class TestMesh:
         assert mesh.devices.shape == (4, 2)
         assert mesh.axis_names == ("data", "tile")
 
+    @pytest.mark.slow
     def test_dp_static_step_runs_and_reduces(self, scene_and_states):
         scene, state = scene_and_states
         mesh = make_mesh(data=8, tile=1)
@@ -39,6 +40,7 @@ class TestMesh:
         # parameters changed (gradient was applied)
         assert not np.allclose(np.asarray(state.gs.xyz), np.asarray(state2.gs.xyz))
 
+    @pytest.mark.slow
     def test_dp_matches_single_device_loss(self, scene_and_states):
         """The sharded mean loss must equal the unsharded mean of per-frame losses."""
         from riggs_tpu.render.api import render
@@ -56,6 +58,22 @@ class TestMesh:
             ref_losses.append(float(L.photometric_loss(out["render"], f.image, 0.2)))
         np.testing.assert_allclose(float(loss), np.mean(ref_losses), rtol=1e-4)
 
+    @staticmethod
+    def _stage2_inputs(state, B, capacity):
+        J = state.skel.joints.shape[0]
+        lrs_gs = {k: jnp.asarray(1e-4, jnp.float32) for k in state.gs.params_dict()}
+        return dict(
+            uids=jnp.arange(B, dtype=jnp.int32),
+            bg=jnp.zeros(3),
+            lrs_gs=lrs_gs,
+            lrs_skel=jnp.asarray(1e-4, jnp.float32),
+            pre_dx=jnp.zeros((B, capacity, 3)),
+            pre_dj=jnp.zeros((B, J, 3)),
+            lam_to=jnp.full((B,), 1e-2, jnp.float32),
+            lam_tf=jnp.concatenate([jnp.ones(1), jnp.zeros(B - 1)]) if B > 1 else jnp.ones(1),
+        )
+
+    @pytest.mark.slow
     def test_dp_stage2_step(self, scene_and_states):
         import sys
 
@@ -64,7 +82,83 @@ class TestMesh:
 
         scene, state2 = g._build_tiny_scene(width=64, height=64, n_train=8)
         mesh = make_mesh(data=4, tile=2)
-        step = make_dp_stage2_step(mesh, active_sh=1, max_per_tile=128)
-        batch = shard_batch(stack_frames(scene.train_frames[:4]), mesh)
-        new_state, loss = step(state2, batch, jnp.zeros(3), jnp.asarray(1e-4))
-        assert np.isfinite(float(loss))
+        step = make_dp_stage2_step(
+            mesh, active_sh=1, max_per_tile=128, use_chamfer=True, enable_to=True, enable_sm=True
+        )
+        B = 4
+        batch = shard_batch(stack_frames(scene.train_frames[:B]), mesh)
+        i = self._stage2_inputs(state2, B, state2.gs.capacity)
+        new_state, m = step(
+            state2, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
+            i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+        )
+        assert np.isfinite(float(m["loss"]))
+        # the full loss set ran: chamfer buffer was refreshed for the batch uids
+        assert not np.allclose(
+            np.asarray(new_state.proj_loss[:B]), np.asarray(state2.proj_loss[:B])
+        )
+
+    @pytest.mark.slow
+    def test_dp_stage2_matches_single_chip_semantics(self):
+        """B=1 dp step == the real single-chip stage2_step: same loss and same
+        post-Adam state leaves (VERDICT round-1 item 2)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        from riggs_tpu.train.stage2 import stage2_step
+
+        scene, state = g._build_tiny_scene(width=64, height=64, n_train=2)
+        mesh = make_mesh(data=1, tile=1)
+        step = make_dp_stage2_step(
+            mesh, active_sh=1, max_per_tile=128, use_chamfer=True, enable_to=True, enable_sm=True
+        )
+        frame = scene.train_frames[0]
+        i = self._stage2_inputs(state, 1, state.gs.capacity)
+        batch = stack_frames([frame])
+        dp_state, dp_m = step(
+            state, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
+            i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+        )
+        ref_state, ref_m = stage2_step(
+            state, frame, jnp.asarray(0, jnp.int32), i["bg"], i["lrs_gs"], i["lrs_skel"],
+            i["pre_dx"][0], i["pre_dj"][0], i["lam_to"][0], i["lam_tf"][0],
+            active_sh=1, max_per_tile=128, use_chamfer=True, enable_to=True, enable_sm=True,
+        )
+        np.testing.assert_allclose(float(dp_m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+        ref_leaves = jax.tree.leaves(ref_state)
+        dp_leaves = jax.tree.leaves(dp_state)
+        assert len(ref_leaves) == len(dp_leaves)
+        for a, b in zip(ref_leaves, dp_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_dp_stage2_sharded_matches_one_device(self):
+        """The 8-way sharded step computes the same update as the same batch on
+        a 1-device mesh (collectives correctness)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        scene, state = g._build_tiny_scene(width=64, height=64, n_train=8)
+        B = 8
+        i = self._stage2_inputs(state, B, state.gs.capacity)
+        frames = stack_frames(scene.train_frames[:B])
+        results = []
+        for ndev in (1, 8):
+            mesh = make_mesh(data=ndev, tile=1)
+            step = make_dp_stage2_step(
+                mesh, active_sh=1, max_per_tile=128, use_chamfer=True,
+                enable_to=True, enable_sm=True,
+            )
+            batch = shard_batch(frames, mesh)
+            new_state, m = step(
+                state, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
+                i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+            )
+            results.append((new_state, float(m["loss"])))
+        (s1, l1), (s8, l8) = results
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

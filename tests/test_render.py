@@ -110,7 +110,7 @@ class TestBinning:
         na = np.asarray(a.valid).sum(1)
         nb = np.asarray(b.valid).sum(1)
         np.testing.assert_array_equal(na, nb)
-        b_idx = np.asarray(b.order)[np.asarray(b.didx)]
+        b_idx = np.asarray(b.idx)
         for t in range(a.idx.shape[0]):
             ia = np.asarray(a.idx[t])[np.asarray(a.valid[t])]
             ib = b_idx[t][np.asarray(b.valid[t])]
@@ -139,3 +139,61 @@ class TestProjection:
         cov3d = build_cov3d(jnp.full((1, 3), 0.1), jnp.array([[1.0, 0, 0, 0]]))
         proj = project_gaussians(cam, jnp.array([[0.0, 0.0, -5.0]]), cov3d)
         assert not bool(proj.mask[0])
+
+
+class TestOverflowEscalation:
+    """Per-gaussian tile overflow handling (round-1 verdict item 4): a giant
+    near-camera splat covering more tiles than max_tiles_per_gaussian must be
+    detected, and escalation must recover exact oracle parity."""
+
+    def _giant_scene(self, rng, n=40):
+        means, colors, opacity, scales, rots = make_scene(rng, n=n)
+        # one huge splat right in front of the camera covering most tiles
+        means = means.at[0].set(jnp.array([0.0, 0.0, 1.5]))
+        scales = scales.at[0].set(jnp.array([0.5, 0.5, 0.5]))
+        opacity = opacity.at[0].set(0.35)
+        return means, colors, opacity, scales, rots
+
+    def test_overflow_detected_and_escalation_matches_oracle(self, rng, cam):
+        means, colors, opacity, scales, rots = self._giant_scene(rng)
+        bg = jnp.zeros(3)
+        low = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, max_tiles_per_gaussian=1
+        )
+        assert int(low["overflow_rect"]) > 0  # truncation is counted, not silent
+        hi = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, max_tiles_per_gaussian=16
+        )
+        assert int(hi["overflow_rect"]) == 0
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        np.testing.assert_allclose(a["image"], hi["image"], atol=2e-5)
+
+    def test_render_auto_escalates(self, rng, cam):
+        from riggs_tpu.models import gaussians as G
+        from riggs_tpu.render.api import render, render_auto
+
+        means, colors, opacity, scales, rots = self._giant_scene(rng)
+        gs = G.create_from_pcd(
+            np.asarray(means), np.asarray(colors), capacity=64, max_sh_degree=0,
+            with_motion_mask=False,
+        )
+        import dataclasses as dc
+
+        pad = gs.capacity - scales.shape[0]
+        gs = dc.replace(
+            gs,
+            scaling=jnp.pad(jnp.log(scales), ((0, pad), (0, 0)), constant_values=-9.0),
+            rotation=jnp.pad(rots, ((0, pad), (0, 0)), constant_values=0.5),
+            opacity=jnp.pad(
+                G.inverse_sigmoid(opacity)[:, None], ((0, pad), (0, 0)), constant_values=-9.0
+            ),
+        )
+        bg = jnp.zeros(3)
+        low = render(cam, gs, bg, max_per_tile=128, max_tiles_per_gaussian=1)
+        assert int(low["overflow_rect"]) > 0
+        out = render_auto(cam, gs, bg, max_per_tile=128, max_tiles_per_gaussian=1)
+        assert int(out["overflow_tiles"]) == 0 and int(out["overflow_rect"]) == 0
+        ref = render(cam, gs, bg, max_per_tile=1024, max_tiles_per_gaussian=64)
+        np.testing.assert_allclose(
+            np.asarray(out["render"]), np.asarray(ref["render"]), atol=2e-5
+        )

@@ -31,6 +31,7 @@ def tiny_config():
 
 
 class TestStage1:
+    @pytest.mark.slow
     def test_two_phase_training_improves(self, rng):
         _, scene = make_scene_data(n_train=6, n_test=2, width=64, height=64, max_thinned=128, n_init_points=200)
         cfg = tiny_config()

@@ -21,6 +21,7 @@ def stage1_result():
 
 
 class TestStage2:
+    @pytest.mark.slow
     def test_init_extracts_skeleton(self, stage1_result):
         scene, cfg, s1 = stage1_result
         cfg2 = dataclasses.replace(cfg)
@@ -35,6 +36,7 @@ class TestStage2:
         # template bake: pretrained d_xyz at the template frame is ~0
         assert np.abs(info.d_xyz[info.template_idx]).max() < 1e-5
 
+    @pytest.mark.slow
     def test_training_improves(self, stage1_result):
         scene, cfg, s1 = stage1_result
         o = cfg.opt

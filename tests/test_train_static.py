@@ -24,6 +24,7 @@ def small_config(capacity=2048):
 
 
 class TestStaticTraining:
+    @pytest.mark.slow
     def test_loss_decreases_and_psnr_rises(self, rng):
         fig = make_stick_figure()
         cams = ring_cameras(4, width=64, image_height=64)
@@ -39,6 +40,7 @@ class TestStaticTraining:
         assert last["loss"] < first["loss"] * 0.7, (first, last)
         assert last["psnr"] > first["psnr"] + 3.0, (first, last)
 
+    @pytest.mark.slow
     def test_densify_allocates_and_zeroes_moments(self, rng):
         fig = make_stick_figure()
         cams = ring_cameras(2, width=64, image_height=64)
