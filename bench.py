@@ -43,7 +43,9 @@ def main():
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--max-per-tile", type=int, default=1024)
+    # 640 covers the bench scene's post-cull max/tile (619) with zero
+    # truncation — asserted below so the number stays honest
+    ap.add_argument("--max-per-tile", type=int, default=640)
     ap.add_argument("--platform", type=str, default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--blend", type=str, default="pallas", choices=["pallas", "jnp"])
     args = ap.parse_args()
@@ -69,6 +71,13 @@ def main():
         return jnp.mean(out["image"]) + jnp.mean(out["depth"]) * 0.0
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+
+    # honesty check: the configured caps must not truncate this scene
+    chk = rasterize_tiled(
+        cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile,
+        blend=args.blend,
+    )
+    assert int(chk["overflow"]) == 0, f"bench caps truncate: {int(chk['overflow'])}"
 
     # warmup / compile
     g = step(means, colors, opacity, scales, rots)

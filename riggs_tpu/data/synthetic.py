@@ -51,7 +51,7 @@ def ring_cameras(
 
 @dataclasses.dataclass
 class StickFigure:
-    """A 3-segment articulated chain of Gaussian blobs with known skinning."""
+    """An articulated figure of Gaussian blobs with known skinning."""
 
     points: np.ndarray  # (N, 3) rest positions
     colors: np.ndarray  # (N, 3)
@@ -60,6 +60,9 @@ class StickFigure:
     joints: np.ndarray  # (J, 3) rest joints
     parents: tuple  # (J,)
     skin_idx: np.ndarray  # (N,) rigid bone assignment (joint index)
+    # animation spec: (joint, axis(0|1|2), amplitude scale, phase) — drives
+    # pose_at_time; empty = the classic 2-segment chain animation
+    anim: tuple = ()
 
 
 def make_stick_figure(seed: int = 0, points_per_seg: int = 120) -> StickFigure:
@@ -90,11 +93,73 @@ def make_stick_figure(seed: int = 0, points_per_seg: int = 120) -> StickFigure:
     )
 
 
+def make_biped_figure(seed: int = 0, points_per_seg: int = 120) -> StickFigure:
+    """An 11-joint biped (torso, head, 2 two-segment arms, 2 two-segment
+    legs) — the richer synthetic workload for reference-scale runs: its
+    skeleton extraction must recover limbs, not just a chain."""
+    rng = np.random.default_rng(seed)
+    joints = np.array(
+        [
+            [0.0, -0.10, 0.0],   # 0 pelvis (root)
+            [0.0, 0.35, 0.0],    # 1 chest
+            [0.0, 0.70, 0.0],    # 2 head
+            [-0.35, 0.33, 0.0],  # 3 L elbow
+            [-0.62, 0.08, 0.0],  # 4 L hand
+            [0.35, 0.33, 0.0],   # 5 R elbow
+            [0.62, 0.08, 0.0],   # 6 R hand
+            [-0.16, -0.50, 0.0], # 7 L knee
+            [-0.20, -0.92, 0.0], # 8 L foot
+            [0.16, -0.50, 0.0],  # 9 R knee
+            [0.20, -0.92, 0.0],  # 10 R foot
+        ],
+        np.float32,
+    )
+    parents = (0, 0, 1, 1, 3, 1, 5, 0, 7, 0, 9)
+    segs = [(parents[j], j) for j in range(1, len(parents))]
+    rng_cols = np.random.default_rng(7)
+    palette = rng_cols.uniform(0.15, 0.95, size=(len(parents), 3)).astype(np.float32)
+    pts, cols, skin = [], [], []
+    for p, j in segs:
+        t = rng.uniform(size=(points_per_seg, 1)).astype(np.float32)
+        core = joints[p] + t * (joints[j] - joints[p])
+        off = rng.normal(size=(points_per_seg, 3)).astype(np.float32) * 0.04
+        pts.append(core + off)
+        cols.append(np.tile(palette[j][None], (points_per_seg, 1)))
+        skin.append(np.full(points_per_seg, j))
+    points = np.concatenate(pts)
+    n = points.shape[0]
+    # (joint, axis, amp, phase): swinging arms/legs in anti-phase + head nod
+    anim = (
+        (3, 2, 1.0, 0.0), (5, 2, -1.0, 0.0),     # shoulders (z swing)
+        (4, 2, 0.5, 0.9), (6, 2, -0.5, 0.9),     # elbows
+        (7, 0, 0.8, np.pi), (9, 0, -0.8, np.pi), # hips (x swing)
+        (8, 0, 0.4, 1.2), (10, 0, -0.4, 1.2),    # knees
+        (2, 0, 0.25, 0.5), (1, 2, 0.15, 2.0),    # head nod, torso sway
+    )
+    return StickFigure(
+        points=points,
+        colors=np.concatenate(cols),
+        scales=np.full((n, 3), 0.030, np.float32),
+        opacity=np.full(n, 0.9, np.float32),
+        joints=joints,
+        parents=parents,
+        skin_idx=np.concatenate(skin),
+        anim=anim,
+    )
+
+
 def pose_at_time(fig: StickFigure, t: float, amplitude: float = 0.7) -> np.ndarray:
     """Ground-truth per-joint local rotations (J, 4) for normalized time t."""
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (len(fig.parents), 1))
+    if fig.anim:
+        axes = np.eye(3, dtype=np.float32)
+        for j, ax, amp, phase in fig.anim:
+            ang = amplitude * amp * np.sin(2 * np.pi * t + phase)
+            a = axes[ax] * np.sin(ang / 2)
+            quats[j] = [np.cos(ang / 2), a[0], a[1], a[2]]
+        return quats
     angle1 = amplitude * np.sin(2 * np.pi * t)
     angle2 = 0.5 * amplitude * np.sin(2 * np.pi * t + 1.3)
-    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (len(fig.parents), 1))
     for j, ang in ((1, angle1), (2, angle2)):
         quats[j] = [np.cos(ang / 2), 0.0, 0.0, np.sin(ang / 2)]  # rotate about z
     return quats
@@ -163,6 +228,8 @@ def make_scene_data(
     max_thinned: int = 256,
     n_init_points: int = 300,
     render_gt: bool = True,
+    figure: str = "chain",
+    points_per_seg: int = 120,
 ):
     """A full SceneData with masks + thinned 2D skeletons, D-NeRF style."""
     from riggs_tpu.data.dataset import Frame, SceneData, pad_thinned, thin_mask_skeleton
@@ -170,7 +237,8 @@ def make_scene_data(
     from riggs_tpu.render.oracle import rasterize_oracle
     from riggs_tpu.train.static import compute_scene_extent
 
-    fig = make_stick_figure(seed)
+    mk = make_biped_figure if figure == "biped" else make_stick_figure
+    fig = mk(seed, points_per_seg=points_per_seg)
     rng = np.random.default_rng(seed)
     cams = ring_cameras(n_cams, width=width, image_height=height)
 

@@ -52,6 +52,9 @@ def render(
     max_per_tile: int = 1024,
     max_tiles_per_gaussian: int = 16,
     blend: str = "auto",
+    binning: str | None = None,
+    max_instances: int | None = None,
+    giant_cap: int | None = None,
 ) -> dict[str, Any]:
     means3d = gs.xyz + d_xyz
     if scale_const is not None:
@@ -94,6 +97,13 @@ def render(
         if rasterizer == "tiled"
         else {}
     )
+    if rasterizer == "tiled":
+        if binning is not None:
+            kwargs["binning"] = binning
+        if max_instances is not None:
+            kwargs["max_instances"] = max_instances
+        if giant_cap is not None:
+            kwargs["giant_cap"] = giant_cap
     out = fn(
         cam,
         means3d,
@@ -117,6 +127,7 @@ def render(
         "overflow": out.get("overflow", jnp.zeros((), jnp.int32)),
         "overflow_tiles": out.get("overflow_tiles", jnp.zeros((), jnp.int32)),
         "overflow_rect": out.get("overflow_rect", jnp.zeros((), jnp.int32)),
+        "overflow_budget": out.get("overflow_budget", jnp.zeros((), jnp.int32)),
     }
 
 
@@ -128,35 +139,47 @@ def render_auto(
     max_tiles_per_gaussian: int = 16,
     max_per_tile_limit: int = 8192,
     max_tiles_limit: int = 1024,
+    max_instances: int | None = None,
+    max_instances_limit: int = 64 * 1024 * 1024,
     **kwargs,
 ) -> dict[str, Any]:
     """render() with automatic capacity escalation (host-side retry loop).
 
     The CUDA rasterizer duplicates (gaussian, tile) instances unboundedly
     (/root/reference/gaussian_renderer/__init__.py:133 call site); the static-
-    shape TPU path caps per-tile lists at ``max_per_tile`` and per-gaussian
-    bbox cells at ``max_tiles_per_gaussian`` and *counts* what it dropped.
-    This wrapper re-renders with the offending cap doubled (rect cap x4 — the
-    enumeration side doubles) until nothing is truncated, so evaluation paths
-    are never silently under-rendered (round-1 verdict items 3/4). Each new
-    cap is a fresh jit specialization — use for eval/offline paths, not the
-    training hot loop."""
+    shape TPU path caps per-tile lists at ``max_per_tile`` and — depending on
+    the binner — per-gaussian bbox cells at ``max_tiles_per_gaussian`` (padded
+    binners) or the global instance budget ``max_instances`` (compact binner),
+    and *counts* what it dropped. This wrapper re-renders with the offending
+    cap doubled (rect cap x4 — the enumeration side doubles) until nothing is
+    truncated, so evaluation paths are never silently under-rendered (round-1
+    verdict items 3/4). Each new cap is a fresh jit specialization — use for
+    eval/offline paths, not the training hot loop."""
+    compact = kwargs.get("binning") == "compact"
     while True:
         out = render(
             cam, gs, bg,
             max_per_tile=max_per_tile,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_instances=max_instances,
             **kwargs,
         )
         tiles_of = int(out["overflow_tiles"])
         rect_of = int(out["overflow_rect"])
-        if tiles_of == 0 and rect_of == 0:
+        budget_of = int(out["overflow_budget"])
+        if tiles_of == 0 and rect_of == 0 and budget_of == 0:
             return out
         escalated = False
         if tiles_of > 0 and max_per_tile < max_per_tile_limit:
             max_per_tile = min(max_per_tile * 2, max_per_tile_limit)
             escalated = True
-        if rect_of > 0 and max_tiles_per_gaussian < max_tiles_limit:
+        if (budget_of > 0 or (rect_of > 0 and compact)):
+            # global instance-budget overflow (compact reports it via rect)
+            cur = max_instances if max_instances is not None else 4 * gs.capacity
+            if cur < max_instances_limit:
+                max_instances = min(cur * 2, max_instances_limit)
+                escalated = True
+        if rect_of > 0 and not compact and max_tiles_per_gaussian < max_tiles_limit:
             max_tiles_per_gaussian = min(max_tiles_per_gaussian * 4, max_tiles_limit)
             escalated = True
         if not escalated:

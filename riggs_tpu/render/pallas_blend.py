@@ -38,6 +38,7 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 G_CHUNK = 128
+BWD_CHUNK = 128  # bwd-only block width; may be a larger multiple of G_CHUNK
 PACK_ROWS = 16  # 10 used; padded for sublane alignment
 OUT_ROWS = 8  # 5 used
 
@@ -73,13 +74,32 @@ def _alphas(gt, px, py):
     return alpha, raw, power, dx, dy, ca, cb, cc, op
 
 
+CUMSUM_MXU = True  # A/B knob: triangular-matmul cumsum vs roll-and-add
+# (measured: 32.9 vs 34.7 ms fwd+bwd at the 800p/100k bench — the matmul
+# frees VPU passes in the VPU-bound backward; scripts/perf_ab3.py)
+
+
 def _cumsum_sublanes(x):
-    """Inclusive cumulative sum along axis 0 (the gaussian/sublane axis) via a
-    log2(G) roll-and-add scan. Replaces the lower-triangular-ones matmul of
-    round 1: the (G,G)@(G,P) MXU form costs G*G*P MACs per chunk while this is
-    log2(G) VPU passes — measured 5.3x faster at (128, 1024) fp32
-    (scripts/perf_probe.py cumsum probe)."""
+    """Inclusive cumulative sum along axis 0 (the gaussian/sublane axis).
+
+    Two forms, picked by CUMSUM_MXU: a log2(G) roll-and-add VPU scan, or one
+    lower-triangular-ones matmul on the MXU ((G,G)@(G,P) = 17M MACs per
+    chunk — noise for the MXU, and it frees ~7 VPU passes in the VPU-bound
+    backward). Round-1 probes called the matmul slower, but those probes were
+    dispatch-dominated; the knob exists to A/B it in-pipeline."""
     g = x.shape[0]
+    if CUMSUM_MXU:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+        tri = (row >= col).astype(jnp.float32)
+        # HIGHEST: the default bf16 MXU pass loses ~2^-8 relative on the
+        # log-transmittance sums, which exponentiates into ~0.3% alpha error
+        # (observed alpha > 1); fp32-precision passes keep parity with the
+        # CUDA rasterizer's exact fp32 accumulation
+        return jax.lax.dot_general(
+            tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = 1
     while s < g:
@@ -130,13 +150,16 @@ def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
         w = alpha * t_exc * (t_in >= T_EPS)
 
         vg = _vg(gt)  # (8, G)
-        out_ref[0] += jnp.dot(vg, w, preferred_element_type=jnp.float32)
+        out_ref[0] += jax.lax.dot_general(
+            vg, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
 
 
-def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
+def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix, *, gb):
     t = pl.program_id(0)
-    crev = pl.program_id(1)  # runs 0..C-1 but blocks are index-mapped reversed
+    crev = pl.program_id(1)  # runs 0..C2-1 but blocks are index-mapped reversed
 
     @pl.when(crev == 0)
     def _():
@@ -145,10 +168,12 @@ def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
     tiles_x = scalars_ref[0]
     t_global = t + scalars_ref[1]
     count_t = scalars_ref[2 + t]
-    C = pl.num_programs(1)
-    c = C - 1 - crev
-    t_entry = tentry_ref[0, pl.ds(c, 1), :]  # (1, P)
-    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
+    C2 = pl.num_programs(1)
+    c = C2 - 1 - crev
+    # entry transmittance of this (possibly wider) bwd block = the fwd
+    # residual at the first fwd chunk it covers
+    t_entry = tentry_ref[0, pl.ds(c * (gb // G_CHUNK), 1), :]  # (1, P)
+    active = (c * gb < count_t) & (jnp.max(t_entry) >= T_EPS)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -193,7 +218,9 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX) & (power <= 0.0)).astype(jnp.float32)
     draw = dalpha * pass_mask
     dpower = draw * raw
-    exppow = jnp.where(power > 0.0, 0.0, jnp.exp(power))
+    # exp(power)[power<=0] == raw / op (op==0 rows have raw==0): avoids a
+    # second transcendental in the VPU-bound backward
+    exppow = raw / jnp.maximum(op, 1e-12)
 
     ones1P = jnp.ones((1, P_TILE), jnp.float32)
 
@@ -222,6 +249,241 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     suffix[0:1, :] = suffix[0:1, :] + s_total
 
 
+def _runs_gidx(s, T, M2b, t, c):
+    """Block index into the aligned-runs instance array for (tile t, chunk c).
+
+    Scalar layout: [tiles_x, tile_offset, counts(T), sblk(T)]. Chunks inside
+    the tile's run address its aligned blocks directly; chunks past the run
+    (and empty tiles) resolve to the spare pad block M2b-1, so in the
+    backward every REAL block is written by exactly one grid step (no
+    revisiting hazards — only the spare block is revisited, with zeros, and
+    its slots carry the sentinel gaussian id so the scatter drops them).
+    """
+    cnt = s[2 + t]
+    blocks = (cnt + G_CHUNK - 1) // G_CHUNK
+    idx = jnp.where(c < blocks, s[2 + T + t] + c, M2b - 1)
+    return jnp.minimum(idx, M2b - 1)
+
+
+def _fwd_kernel_runs(scalars_ref, g_ref, out_ref, tentry_ref, trun):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    tiles_x = scalars_ref[0]
+    t_global = t + scalars_ref[1]
+    count_t = scalars_ref[2 + t]
+
+    @pl.when(c == 0)
+    def _():
+        trun[:] = jnp.ones(trun.shape, jnp.float32)
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    t_entry = trun[0:1, :]
+    tentry_ref[0, pl.ds(c, 1), :] = t_entry
+    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
+
+    @pl.when(active)
+    def _():
+        px, py = _pixel_coords(t_global, tiles_x)
+        gt = g_ref[...].T  # (G, 16); run-pad slots have zero attrs -> alpha 0
+        alpha, *_ = _alphas(gt, px, py)
+        lg = jnp.log1p(-alpha)
+        cum = _cumsum_sublanes(lg)
+        t_in = t_entry * jnp.exp(cum)
+        one_m = 1.0 - alpha
+        t_exc = t_in / one_m
+        w = alpha * t_exc * (t_in >= T_EPS)
+        vg = _vg(gt)
+        out_ref[0] += jax.lax.dot_general(
+            vg, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+
+
+def _bwd_kernel_runs(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix):
+    t = pl.program_id(0)
+    crev = pl.program_id(1)
+
+    @pl.when(crev == 0)
+    def _():
+        suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
+
+    tiles_x = scalars_ref[0]
+    t_global = t + scalars_ref[1]
+    count_t = scalars_ref[2 + t]
+    C = pl.num_programs(1)
+    c = C - 1 - crev
+    t_entry = tentry_ref[0, pl.ds(c, 1), :]
+    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dg_ref[:] = jnp.zeros(dg_ref.shape, jnp.float32)
+
+    @pl.when(active)
+    def _():
+        _bwd_body_runs(g_ref, dout_ref, dg_ref, suffix, t_global, tiles_x, t_entry)
+
+
+def _bwd_body_runs(g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry):
+    px, py = _pixel_coords(t, tiles_x)
+    gt = g_ref[...].T  # (G, 16)
+    alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
+    dC = dout_ref[0]
+
+    lg = jnp.log1p(-alpha)
+    cum = _cumsum_sublanes(lg)
+    t_in = t_entry * jnp.exp(cum)
+    one_m = 1.0 - alpha
+    t_exc = t_in / one_m
+    incl = (t_in >= T_EPS).astype(jnp.float32)
+    w = alpha * t_exc * incl
+
+    vg = _vg(gt)
+    vdc = jax.lax.dot_general(vg, dC, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    s = w * vdc
+    dvg = jax.lax.dot_general(dC, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    s_incl = _cumsum_sublanes(s)
+    G = alpha.shape[0]
+    s_total = s_incl[G - 1 : G, :]
+    suf = (s_total - s_incl) + suffix[0:1, :]
+
+    dalpha = t_exc * incl * vdc - suf / one_m
+    pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX) & (power <= 0.0)).astype(jnp.float32)
+    draw = dalpha * pass_mask
+    dpower = draw * raw
+    exppow = jnp.where(power > 0.0, 0.0, jnp.exp(power))
+
+    ones1P = jnp.ones((1, P_TILE), jnp.float32)
+
+    def rowsum_row(x):
+        return jax.lax.dot_general(
+            ones1P, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    d_mx = rowsum_row((ca * dx + cb * dy) * dpower)
+    d_my = rowsum_row((cc * dy + cb * dx) * dpower)
+    d_ca = rowsum_row(-0.5 * dx * dx * dpower)
+    d_cb = rowsum_row(-dx * dy * dpower)
+    d_cc = rowsum_row(-0.5 * dy * dy * dpower)
+    d_op = rowsum_row(draw * exppow)
+
+    dg_ref[...] = jnp.concatenate(
+        [
+            d_mx, d_my, d_ca, d_cb, d_cc, d_op,
+            dvg[0:1], dvg[1:2], dvg[2:3], dvg[3:4],
+            jnp.zeros((PACK_ROWS - 10, G), jnp.float32),
+        ],
+        axis=0,
+    )
+    suffix[0:1, :] = suffix[0:1, :] + s_total
+
+
+def _make_fwd_runs(T, C, M2b, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec(
+                (PACK_ROWS, G_CHUNK),
+                lambda t, c, s: (0, _runs_gidx(s, T, M2b, t, c)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, s: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, s: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel_runs,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, OUT_ROWS, P_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, P_TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _make_bwd_runs(T, C, M2b, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec(
+                (PACK_ROWS, G_CHUNK),
+                lambda t, c, s: (0, _runs_gidx(s, T, M2b, t, C - 1 - c)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, s: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, s: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (PACK_ROWS, G_CHUNK),
+                lambda t, c, s: (0, _runs_gidx(s, T, M2b, t, C - 1 - c)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _bwd_kernel_runs,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((PACK_ROWS, M2b * G_CHUNK), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pallas_blend_runs(g_runs, counts, sblk, chunks: int, tiles_x: int, interpret: bool = False):
+    """Aligned-runs blend. g_runs: (16, M2) instance attributes in run layout;
+    counts/sblk: (T,) per-tile hit counts and first-block offsets; ``chunks``
+    bounds the per-tile chunk grid (max_per_tile // G_CHUNK). Returns
+    (T, 8, P_TILE) [rgb, depth, acc rows]."""
+    out, _ = _pb_runs_fwd(g_runs, counts, sblk, chunks, tiles_x, interpret)
+    return out
+
+
+def _runs_scalars(counts, sblk, tiles_x, tile_offset=0):
+    return jnp.concatenate(
+        [
+            jnp.asarray([tiles_x], jnp.int32),
+            jnp.asarray(tile_offset, jnp.int32).reshape(1),
+            counts.astype(jnp.int32),
+            sblk.astype(jnp.int32),
+        ]
+    )
+
+
+def _pb_runs_fwd(g_runs, counts, sblk, chunks, tiles_x, interpret):
+    R, M2 = g_runs.shape
+    assert R == PACK_ROWS and M2 % G_CHUNK == 0
+    T = counts.shape[0]
+    M2b = M2 // G_CHUNK
+    out, tentry = _make_fwd_runs(T, chunks, M2b, interpret)(
+        _runs_scalars(counts, sblk, tiles_x), g_runs
+    )
+    return out, (g_runs, counts, sblk, tentry)
+
+
+def _pb_runs_bwd(chunks, tiles_x, interpret, res, dout):
+    g_runs, counts, sblk, tentry = res
+    R, M2 = g_runs.shape
+    T = counts.shape[0]
+    M2b = M2 // G_CHUNK
+    (dg,) = _make_bwd_runs(T, chunks, M2b, interpret)(
+        _runs_scalars(counts, sblk, tiles_x), g_runs, tentry, dout
+    )
+    return (dg, None, None)
+
+
+pallas_blend_runs.defvjp(_pb_runs_fwd, _pb_runs_bwd)
+
+
 def _make_fwd(T, C, tiles_x, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -246,22 +508,30 @@ def _make_fwd(T, C, tiles_x, interpret):
     )
 
 
-def _make_bwd(T, C, tiles_x, interpret):
+def _make_bwd(T, C, tiles_x, interpret, gb=None):
+    """Backward kernel; ``gb`` is the bwd-only chunk width (a multiple of the
+    fwd G_CHUNK — wider blocks amortize per-grid-step overhead; the entry
+    transmittance for a wide block is the fwd residual of its first chunk)."""
+    gb = gb or BWD_CHUNK
+    MAX = C * G_CHUNK
+    if MAX % gb != 0:
+        gb = G_CHUNK
+    C2 = MAX // gb
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, C),
+        grid=(T, C2),
         in_specs=[
-            pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, C - 1 - c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PACK_ROWS, gb), lambda t, c, *_: (t, 0, C2 - 1 - c), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, PACK_ROWS, G_CHUNK), lambda t, c, *_: (t, 0, C - 1 - c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PACK_ROWS, gb), lambda t, c, *_: (t, 0, C2 - 1 - c), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, gb=gb),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, PACK_ROWS, G_CHUNK * C), jnp.float32)],
         interpret=interpret,

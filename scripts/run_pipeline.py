@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--synthetic", action="store_true", help="use the built-in synthetic scene")
     ap.add_argument("--synthetic_size", type=int, default=128)
+    ap.add_argument("--synthetic_frames", type=int, default=16)
+    ap.add_argument("--synthetic_figure", choices=["chain", "biped"], default="chain")
+    ap.add_argument("--synthetic_points", type=int, default=120, help="blob points per segment")
     ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
@@ -60,7 +63,9 @@ def main():
 
     if args.synthetic:
         _, scene = make_scene_data(
-            n_train=16, n_test=4, width=args.synthetic_size, height=args.synthetic_size
+            n_train=args.synthetic_frames, n_test=max(args.synthetic_frames // 4, 1),
+            width=args.synthetic_size, height=args.synthetic_size,
+            figure=args.synthetic_figure, points_per_seg=args.synthetic_points,
         )
     else:
         # type-sniffing dispatch: blender/D-NeRF, ZJU, nerfies, COLMAP

@@ -162,3 +162,50 @@ class TestMesh:
         np.testing.assert_allclose(l1, l8, rtol=1e-5)
         for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+class TestMultihost:
+    """Single-process reduction of the multi-host (DCN) path: the same code
+    that runs per-host on a pod must work on the virtual 8-device mesh."""
+
+    def test_host_mesh_single_process(self):
+        from riggs_tpu.parallel.multihost import make_host_mesh
+
+        mesh = make_host_mesh(data_per_host=4, tile=2)
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("data", "tile")
+
+    def test_host_local_frames_deterministic(self):
+        from riggs_tpu.parallel.multihost import host_local_frames
+
+        frames = list(range(20))
+        a, idx_a = host_local_frames(frames, batch=8, step=3)
+        b, idx_b = host_local_frames(frames, batch=8, step=3)
+        np.testing.assert_array_equal(idx_a, idx_b)
+        assert a == b and len(a) == 8  # single process takes the whole batch
+        c, idx_c = host_local_frames(frames, batch=8, step=4)
+        assert not np.array_equal(idx_a, idx_c)
+
+    @pytest.mark.slow
+    def test_global_batch_feeds_dp_step(self, scene_and_states):
+        from riggs_tpu.parallel.multihost import (
+            global_batch,
+            host_local_frames,
+            make_host_mesh,
+        )
+
+        scene, state = scene_and_states
+        mesh = make_host_mesh(data_per_host=8, tile=1)
+        local, _ = host_local_frames(scene.train_frames, batch=8, step=0)
+        batch = global_batch(stack_frames(local), mesh)
+        leaf = jax.tree.leaves(batch)[0]
+        assert leaf.sharding.spec == jax.sharding.PartitionSpec("data")
+        step = make_dp_static_step(mesh, active_sh=0, max_per_tile=128)
+        _, loss = step(state, batch, jnp.zeros(3), jnp.asarray(1e-3))
+        assert np.isfinite(float(loss))
+
+    def test_init_distributed_noop_single_process(self, monkeypatch):
+        from riggs_tpu.parallel import multihost
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert multihost.init_distributed() is False

@@ -116,12 +116,39 @@ class TestBinning:
             ib = b_idx[t][np.asarray(b.valid[t])]
             np.testing.assert_array_equal(ia, ib)
 
-    def test_sorted_image_matches_oracle(self, rng, cam):
+    @pytest.mark.parametrize("binning", ["sort", "sort2", "compact", "runs"])
+    def test_binner_image_matches_oracle(self, rng, cam, binning):
         means, colors, opacity, scales, rots = make_scene(rng, n=150)
         bg = jnp.zeros(3)
         a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
-        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, binning="sort")
+        kw = {"max_per_tile": 128} if binning == "runs" else {}
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg, binning=binning, **kw)
         np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+        np.testing.assert_allclose(a["alpha"], b["alpha"], atol=2e-5)
+
+    @pytest.mark.parametrize("binning", ["sort2", "compact", "runs"])
+    def test_binner_grads_match_oracle(self, rng, cam, binning):
+        """The structural custom-VJP gathers (gather_instances segment-sum,
+        gather_grid collision-free scatter) must reproduce XLA's autodiff
+        scatter-add gradients exactly."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=60)
+        bg = jnp.zeros(3)
+        target = jnp.zeros((64, 64, 3)) + 0.5
+
+        def loss(fn, m, o, s, **kw):
+            out = fn(cam, m, colors, o, s, rots, bg, **kw)
+            return jnp.mean((out["image"] - target) ** 2)
+
+        g_o = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda *a, **k: rasterize_oracle(*a, **k), means, opacity, scales
+        )
+        kw = {"max_per_tile": 128} if binning == "runs" else {}
+        g_t = jax.grad(loss, argnums=(1, 2, 3))(
+            lambda *a, **k: rasterize_tiled(*a, **k), means, opacity, scales,
+            binning=binning, **kw,
+        )
+        for a, b, name in zip(g_o, g_t, ["means", "opacity", "scales"]):
+            np.testing.assert_allclose(a, b, atol=5e-5, err_msg=name)
 
 
 class TestProjection:
@@ -158,15 +185,51 @@ class TestOverflowEscalation:
         means, colors, opacity, scales, rots = self._giant_scene(rng)
         bg = jnp.zeros(3)
         low = rasterize_tiled(
-            cam, means, colors, opacity, scales, rots, bg, max_tiles_per_gaussian=1
+            cam, means, colors, opacity, scales, rots, bg, binning="sort",
+            max_tiles_per_gaussian=1, giant_cap=0,
         )
         assert int(low["overflow_rect"]) > 0  # truncation is counted, not silent
         hi = rasterize_tiled(
-            cam, means, colors, opacity, scales, rots, bg, max_tiles_per_gaussian=16
+            cam, means, colors, opacity, scales, rots, bg, binning="sort",
+            max_tiles_per_gaussian=16, giant_cap=0,
         )
         assert int(hi["overflow_rect"]) == 0
         a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
         np.testing.assert_allclose(a["image"], hi["image"], atol=2e-5)
+
+    def test_giant_second_pass_matches_oracle_without_escalation(self, rng, cam):
+        """With the giant enumeration pass (default), a splat covering more
+        tiles than max_tiles_per_gaussian renders exactly with NO escalation:
+        the second pass enumerates the cells the K-window missed (CUDA's
+        unbounded duplication, statically bounded)."""
+        means, colors, opacity, scales, rots = self._giant_scene(rng)
+        bg = jnp.zeros(3)
+        out = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, binning="sort",
+            max_tiles_per_gaussian=1,
+        )
+        assert int(out["overflow_rect"]) == 0
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        np.testing.assert_allclose(a["image"], out["image"], atol=2e-5)
+
+    def test_compact_has_no_per_gaussian_cap(self, rng, cam):
+        """The compact binner implements CUDA's unbounded-duplication
+        semantics: the giant splat needs no max_tiles_per_gaussian escalation,
+        only the global instance budget, and truncation of that budget is
+        counted (never silent)."""
+        means, colors, opacity, scales, rots = self._giant_scene(rng)
+        bg = jnp.zeros(3)
+        out = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg, binning="compact"
+        )
+        assert int(out["overflow_rect"]) == 0
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        np.testing.assert_allclose(a["image"], out["image"], atol=2e-5)
+        dense = make_scene(rng, n=300)
+        tiny = rasterize_tiled(
+            cam, *dense, bg, binning="compact", max_instances=128,
+        )
+        assert int(tiny["overflow_rect"]) > 0
 
     def test_render_auto_escalates(self, rng, cam):
         from riggs_tpu.models import gaussians as G
@@ -189,11 +252,50 @@ class TestOverflowEscalation:
             ),
         )
         bg = jnp.zeros(3)
-        low = render(cam, gs, bg, max_per_tile=128, max_tiles_per_gaussian=1)
+        low = render(
+            cam, gs, bg, binning="sort", max_per_tile=128, max_tiles_per_gaussian=1,
+            giant_cap=0,
+        )
         assert int(low["overflow_rect"]) > 0
-        out = render_auto(cam, gs, bg, max_per_tile=128, max_tiles_per_gaussian=1)
+        out = render_auto(
+            cam, gs, bg, binning="sort", max_per_tile=128, max_tiles_per_gaussian=1,
+            giant_cap=0,
+        )
         assert int(out["overflow_tiles"]) == 0 and int(out["overflow_rect"]) == 0
-        ref = render(cam, gs, bg, max_per_tile=1024, max_tiles_per_gaussian=64)
+        ref = render(
+            cam, gs, bg, binning="sort", max_per_tile=1024, max_tiles_per_gaussian=64,
+            giant_cap=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["render"]), np.asarray(ref["render"]), atol=2e-5
+        )
+
+    def test_render_auto_escalates_compact_instances(self, rng, cam):
+        from riggs_tpu.models import gaussians as G
+        from riggs_tpu.render.api import render, render_auto
+
+        means, colors, opacity, scales, rots = self._giant_scene(rng, n=250)
+        gs = G.create_from_pcd(
+            np.asarray(means), np.asarray(colors), capacity=256, max_sh_degree=0,
+            with_motion_mask=False,
+        )
+        import dataclasses as dc
+
+        pad = gs.capacity - scales.shape[0]
+        gs = dc.replace(
+            gs,
+            scaling=jnp.pad(jnp.log(scales), ((0, pad), (0, 0)), constant_values=-9.0),
+            rotation=jnp.pad(rots, ((0, pad), (0, 0)), constant_values=0.5),
+            opacity=jnp.pad(
+                G.inverse_sigmoid(opacity)[:, None], ((0, pad), (0, 0)), constant_values=-9.0
+            ),
+        )
+        bg = jnp.zeros(3)
+        low = render(cam, gs, bg, binning="compact", max_instances=16)
+        assert int(low["overflow_rect"]) > 0
+        out = render_auto(cam, gs, bg, binning="compact", max_instances=16)
+        assert int(out["overflow_tiles"]) == 0 and int(out["overflow_rect"]) == 0
+        ref = render(cam, gs, bg, binning="compact")
         np.testing.assert_allclose(
             np.asarray(out["render"]), np.asarray(ref["render"]), atol=2e-5
         )
