@@ -214,13 +214,11 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     suf = (s_total - s_incl) + suffix[0:1, :]
 
     dalpha = t_exc * incl * vdc - suf / one_m
-    # chain through clamp/threshold to raw alpha
-    pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX) & (power <= 0.0)).astype(jnp.float32)
+    # chain through clamp/threshold to raw alpha (power<=0 is implied: _alphas
+    # already zeroes raw there, which fails raw >= ALPHA_MIN)
+    pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX)).astype(jnp.float32)
     draw = dalpha * pass_mask
     dpower = draw * raw
-    # exp(power)[power<=0] == raw / op (op==0 rows have raw==0): avoids a
-    # second transcendental in the VPU-bound backward
-    exppow = raw / jnp.maximum(op, 1e-12)
 
     ones1P = jnp.ones((1, P_TILE), jnp.float32)
 
@@ -229,12 +227,26 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
             ones1P, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    d_mx = rowsum_row((ca * dx + cb * dy) * dpower)
-    d_my = rowsum_row((cc * dy + cb * dx) * dpower)
-    d_ca = rowsum_row(-0.5 * dx * dx * dpower)
-    d_cb = rowsum_row(-dx * dy * dpower)
-    d_cc = rowsum_row(-0.5 * dy * dy * dpower)
-    d_op = rowsum_row(draw * exppow)
+    # the per-gaussian conic factors distribute out of the pixel sums, so the
+    # six gradient rows reduce to five raw moments of dpower (the kernel is
+    # VPU-bound — this saves ~9 (G,P) elementwise passes), and
+    # d_op = sum(draw * exp(power)) = sum(dpower) / op  (raw = op * exp(power))
+    dpx = dx * dpower
+    dpy = dy * dpower
+    m_x = rowsum_row(dpx)
+    m_y = rowsum_row(dpy)
+    m_xx = rowsum_row(dx * dpx)
+    m_xy = rowsum_row(dy * dpx)
+    m_yy = rowsum_row(dy * dpy)
+    m_p = rowsum_row(dpower)
+    car, cbr, ccr = ca.T, cb.T, cc.T  # (1, G)
+    inv_op = 1.0 / jnp.maximum(op.T, 1e-12)
+    d_mx = car * m_x + cbr * m_y
+    d_my = ccr * m_y + cbr * m_x
+    d_ca = -0.5 * m_xx
+    d_cb = -m_xy
+    d_cc = -0.5 * m_yy
+    d_op = m_p * inv_op
 
     G = alpha.shape[0]
     dg_ref[0] = jnp.concatenate(

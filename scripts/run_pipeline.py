@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--synthetic_frames", type=int, default=16)
     ap.add_argument("--synthetic_figure", choices=["chain", "biped"], default="chain")
     ap.add_argument("--synthetic_points", type=int, default=120, help="blob points per segment")
+    ap.add_argument("--synthetic_init_points", type=int, default=300, help="random init cloud size")
     ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
@@ -66,6 +67,7 @@ def main():
             n_train=args.synthetic_frames, n_test=max(args.synthetic_frames // 4, 1),
             width=args.synthetic_size, height=args.synthetic_size,
             figure=args.synthetic_figure, points_per_seg=args.synthetic_points,
+            n_init_points=args.synthetic_init_points,
         )
     else:
         # type-sniffing dispatch: blender/D-NeRF, ZJU, nerfies, COLMAP

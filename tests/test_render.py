@@ -299,3 +299,27 @@ class TestOverflowEscalation:
         np.testing.assert_allclose(
             np.asarray(out["render"]), np.asarray(ref["render"]), atol=2e-5
         )
+
+
+class TestCullingAndGiants:
+    def test_low_opacity_gaussian_culled_consistently(self, rng, cam):
+        """op < 1/255 can never pass the blend threshold: culling removes it
+        from the lists and the oracle's per-pixel cutoff removes it from the
+        image — identical output."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=60)
+        opacity = opacity.at[:30].set(1.0 / 300.0)
+        bg = jnp.zeros(3)
+        a = rasterize_oracle(cam, means, colors, opacity, scales, rots, bg)
+        b = rasterize_tiled(cam, means, colors, opacity, scales, rots, bg)
+        np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+
+    def test_giant_cap_overflow_counted(self, rng, cam):
+        """More giants than giant_cap: the residual truncation is counted."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=40)
+        scales = jnp.full_like(scales, 0.35)  # everyone giant
+        means = means.at[:, 2].set(0.0)
+        out = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, jnp.zeros(3),
+            binning="sort", max_tiles_per_gaussian=1, giant_cap=4,
+        )
+        assert int(out["overflow_rect"]) > 0
