@@ -2,6 +2,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -50,8 +51,21 @@ class TestStage2:
         warm = [h for h in hist if h[0] < 15]
         main = [h for h in hist if h[0] >= 20]
         assert len(warm) > 0 and len(main) > 0
-        # warmup distillation decreases
-        assert warm[-1][1]["loss"] <= warm[0][1]["loss"] * 1.5
+        # warmup learned the distillation targets: the trained skeleton's
+        # d_xyz must beat the null (zero-deformation) predictor on FIXED
+        # frames. (Per-step loss endpoints compare different random frames
+        # whose deformation magnitudes differ ~100x — pure noise.)
+        from riggs_tpu.models import skeleton_warp as SW
+
+        errs_m, errs_0 = [], []
+        for u in range(0, len(scene.train_frames), 3):
+            f = scene.train_frames[u]
+            d = SW.skeleton_forward(
+                state.skel, state.gs.xyz, f.fid, state.gs.motion_mask
+            )
+            errs_m.append(float(jnp.mean((d["d_xyz"] - info.d_xyz[u]) ** 2)))
+            errs_0.append(float(jnp.mean(info.d_xyz[u] ** 2)))
+        assert np.mean(errs_m) < np.mean(errs_0), (errs_m, errs_0)
         # rendering quality improves during the main stage
         assert main[-1][1]["psnr"] >= main[0][1]["psnr"] - 1.0
         assert np.isfinite(main[-1][1]["loss"])
