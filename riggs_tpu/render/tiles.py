@@ -353,4 +353,5 @@ def rasterize_tiled(
         overflow_tiles=overflow_tiles,
         overflow_rect=overflow_rect,
         overflow_budget=overflow_budget,
+        max_count=jnp.max(bins.count),
     )

@@ -364,16 +364,19 @@ def _eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=1
         max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
     )
-    return out["render"], out["overflow_tiles"], out["overflow_rect"]
+    return out["render"], out["overflow_tiles"], out["overflow_rect"], out["max_count"]
 
 
 def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16):
     """Held-out render with capacity escalation: dense scenes that exceed the
     per-tile or per-gaussian caps are re-rendered with the offending cap
     raised, so quality is never measured on a silently truncated image
-    (round-1 verdict items 3/4)."""
+    (round-1 verdict items 3/4). On tile overflow the cap jumps DIRECTLY to
+    the observed max per-tile count (one re-jit, not a doubling ladder — each
+    cap is a fresh compile and the remote compile service charges minutes
+    per program at 800p)."""
     while True:
-        img, of_t, of_r = _eval_image(
+        img, of_t, of_r, max_count = _eval_image(
             gs, skel, cam, t, bg, max_per_tile, max_tiles_per_gaussian
         )
         if int(of_t) == 0 and int(of_r) == 0:
@@ -381,7 +384,8 @@ def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16
         if max_per_tile >= 8192 and max_tiles_per_gaussian >= 1024:
             return img
         if int(of_t) > 0:
-            max_per_tile = min(max_per_tile * 2, 8192)
+            need = -(-int(max_count) // 128) * 128
+            max_per_tile = min(max(need, max_per_tile * 2), 8192)
         if int(of_r) > 0:
             max_tiles_per_gaussian = min(max_tiles_per_gaussian * 4, 1024)
 
