@@ -224,6 +224,8 @@ def bin_gaussians_sorted(
     opacity: jax.Array | None = None,
     giant_cap: int = 256,
     giant_side: int = 12,
+    mid_cap: int = 0,
+    mid_side: int = 4,
 ) -> TileBins:
     """Fast binning via one global (tile, depth) instance sort.
 
@@ -236,6 +238,15 @@ def bin_gaussians_sorted(
     rects make the histogram count exactly the *emitted* instances, matching
     the sort) instead of two searchsorted binary searches over the 1.6M-entry
     sorted array (``counts_via='searchsorted'``, kept for A/B).
+
+    Tiered enumeration: most Gaussians cover 1–4 tiles, so padding every
+    Gaussian to ``max_tiles_per_gaussian`` cells wastes sort work. With
+    ``mid_cap > 0`` the primary window can shrink (e.g.
+    ``max_tiles_per_gaussian=4`` -> 2x2) and Gaussians whose rect exceeds it
+    get a second ``mid_side`` x ``mid_side`` enumeration of exactly the cells
+    pass 1 missed (same structure as the giant pass, one tier down). At the
+    800p/100k bench this cuts sorted instances 1.6M -> ~535k with identical
+    output (the union of tier cells is exactly the clipped bbox rect).
     """
     tx_n, ty_n = num_tiles(width, height, tile)
     T = tx_n * ty_n
@@ -277,22 +288,26 @@ def bin_gaussians_sorted(
         w_rect * h_rect - jnp.minimum(w_rect, side) * jnp.minimum(h_rect, side),
         0,
     )
-    if giant_cap > 0:
-        giant = proj.mask & (rect_overflow_cells > 0)
-        (gsel,) = jnp.nonzero(giant, size=giant_cap, fill_value=N)
+
+    def extra_tier(sel, cap, lo_side, hi_side, tile_id, depth, gid, rect_overflow_cells):
+        """Enumerate, for up to ``cap`` selected Gaussians, the cells of a
+        ``hi_side`` x ``hi_side`` corner-anchored window that every lower tier
+        missed (dx >= lo_side or dy >= lo_side) — tier regions are disjoint
+        and their union is exactly the clipped bbox rect."""
+        (gsel,) = jnp.nonzero(sel, size=cap, fill_value=N)
         gok = gsel < N
         gi = jnp.clip(gsel, 0, N - 1)
-        K2 = giant_side * giant_side
+        K2 = hi_side * hi_side
         ks2 = jnp.arange(K2, dtype=jnp.int32)
-        dx2 = (ks2 % giant_side)[:, None]
-        dy2 = (ks2 // giant_side)[:, None]
-        tx2 = lox[gi][None, :] + dx2  # (K2, giant_cap)
+        dx2 = (ks2 % hi_side)[:, None]
+        dy2 = (ks2 // hi_side)[:, None]
+        tx2 = lox[gi][None, :] + dx2  # (K2, cap)
         ty2 = loy[gi][None, :] + dy2
         cell_ok2 = (
             gok[None, :]
             & (dx2 < w_rect[gi][None, :])
             & (dy2 < h_rect[gi][None, :])
-            & ((dx2 >= side) | (dy2 >= side))  # only cells pass 1 missed
+            & ((dx2 >= lo_side) | (dy2 >= lo_side))  # only cells lower tiers missed
         )
         if opacity is not None:
             sub = Projected(
@@ -301,18 +316,41 @@ def bin_gaussians_sorted(
             )
             cell_ok2 &= _cell_cull(sub, opacity[gi], tx2, ty2, tile)
         tile_id2 = jnp.where(cell_ok2, ty2 * tx_n + tx2, T).reshape(-1)
-        depth2 = jnp.broadcast_to(proj.depth[gi][None, :], (K2, giant_cap)).reshape(-1)
-        gid2 = jnp.broadcast_to(gi[None, :], (K2, giant_cap)).reshape(-1)
-        tile_id = jnp.concatenate([tile_id, tile_id2])
-        depth = jnp.concatenate([depth, depth2])
-        gid = jnp.concatenate([gid, gid2])
-        # residual truncation: giants beyond the cap or wider than giant_side
+        depth2 = jnp.broadcast_to(proj.depth[gi][None, :], (K2, cap)).reshape(-1)
+        gid2 = jnp.broadcast_to(gi[None, :], (K2, cap)).reshape(-1)
+        # residual truncation: selected beyond the cap or wider than hi_side
         handled = jnp.zeros((N,), bool).at[gi].set(gok, mode="drop")
         rect_overflow_cells = jnp.where(
             handled,
             w_rect * h_rect
-            - jnp.minimum(w_rect, giant_side) * jnp.minimum(h_rect, giant_side),
+            - jnp.minimum(w_rect, hi_side) * jnp.minimum(h_rect, hi_side),
             rect_overflow_cells,
+        )
+        return (
+            jnp.concatenate([tile_id, tile_id2]),
+            jnp.concatenate([depth, depth2]),
+            jnp.concatenate([gid, gid2]),
+            rect_overflow_cells,
+            handled,
+        )
+
+    lo = side
+    mid_handled = None
+    if mid_cap > 0 and mid_side > side:
+        sel = proj.mask & ((w_rect > side) | (h_rect > side))
+        tile_id, depth, gid, rect_overflow_cells, mid_handled = extra_tier(
+            sel, mid_cap, side, mid_side, tile_id, depth, gid, rect_overflow_cells
+        )
+        lo = mid_side
+    if giant_cap > 0:
+        sel = proj.mask & ((w_rect > lo) | (h_rect > lo))
+        if mid_handled is not None:
+            # a giant the mid tier's cap dropped is missing its [side, mid_side)
+            # ring; skip it here so the overflow diagnostic keeps counting
+            # those cells (escalation will re-render with bigger caps)
+            sel &= mid_handled
+        tile_id, depth, gid, rect_overflow_cells, _ = extra_tier(
+            sel, giant_cap, lo, giant_side, tile_id, depth, gid, rect_overflow_cells
         )
 
     tile_sorted, _, gid_sorted = jax.lax.sort(

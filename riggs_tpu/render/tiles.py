@@ -197,6 +197,8 @@ def rasterize_tiled(
     max_instances: int | None = None,
     giant_cap: int = 256,
     giant_side: int = 12,
+    mid_cap: int = 0,
+    mid_side: int = 4,
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
@@ -251,6 +253,7 @@ def rasterize_tiled(
             proj, cam.width, cam.height, max_per_tile=max_per_tile,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             opacity=op_cull, giant_cap=giant_cap, giant_side=giant_side,
+            mid_cap=mid_cap, mid_side=mid_side,
         )
     else:
         bins = bin_gaussians(proj, cam.width, cam.height, max_per_tile=max_per_tile)

@@ -323,3 +323,47 @@ class TestCullingAndGiants:
             binning="sort", max_tiles_per_gaussian=1, giant_cap=4,
         )
         assert int(out["overflow_rect"]) > 0
+
+    def test_mid_tier_matches_single_window(self, rng, cam):
+        """Tiered enumeration (2x2 primary + mid + giant) is exact: same image
+        and gradients as the one-window 4x4 scheme, zero overflow, at ~1/3 the
+        sort size."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=200)
+        # spread of sizes: most small, some mid (2-4 tiles wide), a few giants
+        scales = scales.at[:20].set(0.08)
+        scales = scales.at[:4].set(0.3)
+        bg = jnp.zeros(3)
+
+        def run(**kw):
+            def loss(ms, cs, op, sc, rt):
+                out = rasterize_tiled(cam, ms, cs, op, sc, rt, bg, binning="sort", **kw)
+                return jnp.sum(out["image"] * jnp.cos(out["image"])), out
+
+            (val, out), grads = jax.value_and_grad(loss, argnums=(0, 2, 3), has_aux=True)(
+                means, colors, opacity, scales, rots
+            )
+            return val, out, grads
+
+        _, ref, gref = run(max_tiles_per_gaussian=16, giant_cap=32, giant_side=24)
+        _, tiered, gt = run(
+            max_tiles_per_gaussian=4, mid_cap=64, mid_side=4, giant_cap=32, giant_side=24,
+        )
+        assert int(tiered["overflow_rect"]) == 0
+        np.testing.assert_allclose(ref["image"], tiered["image"], atol=2e-5)
+        np.testing.assert_allclose(ref["depth"], tiered["depth"], atol=2e-4)
+        for a, b in zip(gref, gt):
+            np.testing.assert_allclose(a, b, atol=3e-5)
+
+    def test_mid_cap_overflow_counted(self, rng):
+        """Mid-tier cap truncation is counted — including the [side, mid_side)
+        ring of giants the mid cap dropped (they are skipped by the giant tier
+        so escalation sees the full deficit)."""
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 256, 256, fovx=1.0, fovy=1.0)
+        means, colors, opacity, scales, rots = make_scene(rng, n=60)
+        scales = jnp.full_like(scales, 0.1)  # 3-4-tile rects: all need the mid tier
+        out = rasterize_tiled(
+            big, means, colors, opacity, scales, rots, jnp.zeros(3),
+            binning="sort", max_tiles_per_gaussian=4, mid_cap=1, mid_side=4,
+            giant_cap=8,
+        )
+        assert int(out["overflow_rect"]) > 0
