@@ -104,6 +104,8 @@ class TileBins(NamedTuple):
     grid: GridInfo = None  # set by bin_gaussians_sorted2
     runs: RunsInfo = None  # set by bin_gaussians_runs
     overflow_budget: jax.Array = None  # () instance-budget slots dropped
+    starts: jax.Array = None  # (T,) window start per tile in gid_sorted (sort binner)
+    gid_sorted: jax.Array = None  # (M,) tile-grouped depth-ordered gaussian ids
 
     def gather(self, packed: jax.Array) -> jax.Array:
         """Per-tile rows of ``packed`` (N, D) -> (T, MAX, D)."""
@@ -385,6 +387,7 @@ def bin_gaussians_sorted(
     return TileBins(
         idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n,
         overflow=rect_overflow.astype(jnp.int32),
+        starts=starts, gid_sorted=gid_sorted,
     )
 
 

@@ -117,11 +117,16 @@ def _vg(gt):
     return v.T  # (8, G)
 
 
-def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
+def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun, *, permuted=False):
     t = pl.program_id(0)
     c = pl.program_id(1)
     tiles_x = scalars_ref[0]
-    t_global = t + scalars_ref[1]  # shard offset (tile-parallel rendering)
+    if permuted:
+        # laddered windows: grid rows are count-sorted tiles; the real tile id
+        # per row rides in the scalar block after the counts
+        t_global = scalars_ref[2 + pl.num_programs(0) + t] + scalars_ref[1]
+    else:
+        t_global = t + scalars_ref[1]  # shard offset (tile-parallel rendering)
     count_t = scalars_ref[2 + t]
 
     @pl.when(c == 0)
@@ -157,7 +162,7 @@ def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun):
         trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
 
 
-def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix, *, gb):
+def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix, *, gb, permuted=False):
     t = pl.program_id(0)
     crev = pl.program_id(1)  # runs 0..C2-1 but blocks are index-mapped reversed
 
@@ -166,7 +171,10 @@ def _bwd_kernel(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix, *, gb)
         suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
 
     tiles_x = scalars_ref[0]
-    t_global = t + scalars_ref[1]
+    if permuted:
+        t_global = scalars_ref[2 + pl.num_programs(0) + t] + scalars_ref[1]
+    else:
+        t_global = t + scalars_ref[1]
     count_t = scalars_ref[2 + t]
     C2 = pl.num_programs(1)
     c = C2 - 1 - crev
@@ -496,7 +504,7 @@ def _pb_runs_bwd(chunks, tiles_x, interpret, res, dout):
 pallas_blend_runs.defvjp(_pb_runs_fwd, _pb_runs_bwd)
 
 
-def _make_fwd(T, C, tiles_x, interpret):
+def _make_fwd(T, C, tiles_x, interpret, permuted=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, C),
@@ -510,7 +518,7 @@ def _make_fwd(T, C, tiles_x, interpret):
         scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, permuted=permuted),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, OUT_ROWS, P_TILE), jnp.float32),
@@ -520,7 +528,7 @@ def _make_fwd(T, C, tiles_x, interpret):
     )
 
 
-def _make_bwd(T, C, tiles_x, interpret, gb=None):
+def _make_bwd(T, C, tiles_x, interpret, gb=None, permuted=False):
     """Backward kernel; ``gb`` is the bwd-only chunk width (a multiple of the
     fwd G_CHUNK — wider blocks amortize per-grid-step overhead; the entry
     transmittance for a wide block is the fwd residual of its first chunk)."""
@@ -543,7 +551,7 @@ def _make_bwd(T, C, tiles_x, interpret, gb=None):
         scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
     )
     return pl.pallas_call(
-        partial(_bwd_kernel, gb=gb),
+        partial(_bwd_kernel, gb=gb, permuted=permuted),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, PACK_ROWS, G_CHUNK * C), jnp.float32)],
         interpret=interpret,
@@ -586,6 +594,48 @@ def _pallas_blend_bwd(tiles_x, interpret, res, dout):
         _scalars(counts, tiles_x, 0), g_packed, tentry, dout
     )
     return (dg, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_blend_permuted(g_packed, counts, tids, tiles_x: int, interpret: bool = False):
+    """Blend for the laddered-window path: grid rows are count-sorted tiles,
+    so pixel coordinates come from the real per-row tile id ``tids`` (T,)
+    instead of the grid position. Same math and residuals otherwise."""
+    out, _ = _pb_perm_fwd(g_packed, counts, tids, tiles_x, interpret)
+    return out
+
+
+def _perm_scalars(counts, tids, tiles_x):
+    return jnp.concatenate(
+        [
+            jnp.asarray([tiles_x, 0], jnp.int32),
+            counts.astype(jnp.int32),
+            tids.astype(jnp.int32),
+        ]
+    )
+
+
+def _pb_perm_fwd(g_packed, counts, tids, tiles_x, interpret):
+    T, R, MAX = g_packed.shape
+    assert R == PACK_ROWS and MAX % G_CHUNK == 0
+    C = MAX // G_CHUNK
+    out, tentry = _make_fwd(T, C, tiles_x, interpret, permuted=True)(
+        _perm_scalars(counts, tids, tiles_x), g_packed
+    )
+    return out, (g_packed, counts, tids, tentry)
+
+
+def _pb_perm_bwd(tiles_x, interpret, res, dout):
+    g_packed, counts, tids, tentry = res
+    T, R, MAX = g_packed.shape
+    C = MAX // G_CHUNK
+    (dg,) = _make_bwd(T, C, tiles_x, interpret, permuted=True)(
+        _perm_scalars(counts, tids, tiles_x), g_packed, tentry, dout
+    )
+    return (dg, None, None)
+
+
+pallas_blend_permuted.defvjp(_pb_perm_fwd, _pb_perm_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

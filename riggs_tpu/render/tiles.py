@@ -199,6 +199,7 @@ def rasterize_tiled(
     giant_side: int = 12,
     mid_cap: int = 0,
     mid_side: int = 4,
+    tile_ladder: tuple | None = None,
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
@@ -270,7 +271,59 @@ def rasterize_tiled(
         ],
         axis=-1,
     )  # (N, 10)
-    if bins.runs is not None:
+    ladder_overflow = None
+    if tile_ladder is not None:
+        # laddered windows: tiles sorted by hit count descending get
+        # rank-dependent window capacities, shrinking the instance gather and
+        # its scatter-add backward (both row-op-bound) to roughly the area
+        # under the sorted-count curve instead of T * max(count). Each bucket
+        # runs the permuted-tile Pallas blend (real tile ids via scalars);
+        # outputs are un-permuted with one (T,)-row gather.
+        if blend != "pallas" or bins.starts is None:
+            raise ValueError("tile_ladder requires blend='pallas' and binning='sort'")
+        from riggs_tpu.render.binning import _extract_windows
+        from riggs_tpu.render.pallas_blend import PACK_ROWS, pallas_blend_permuted
+
+        T = bins.tiles_x * bins.tiles_y
+        if sum(n for n, _ in tile_ladder) != T:
+            raise ValueError(
+                f"tile_ladder bucket sizes must sum to the tile count {T}: {tile_ladder}"
+            )
+        interpret = jax.devices()[0].platform == "cpu"
+        ordr = jnp.argsort(-bins.count).astype(jnp.int32)
+        inv = jnp.argsort(ordr)
+        cap_max = max(-(-cap // G_CHUNK) * G_CHUNK for _, cap in tile_ladder)
+        gid_pad = jnp.pad(bins.gid_sorted, (0, cap_max))
+        outs = []
+        ladder_overflow = jnp.zeros((), jnp.int32)
+        r0 = 0
+        for nb, cap in tile_ladder:
+            cap = -(-cap // G_CHUNK) * G_CHUNK
+            tids_b = ordr[r0 : r0 + nb]
+            counts_b = bins.count[tids_b]
+            starts_b = bins.starts[tids_b]
+            win = _extract_windows(gid_pad, starts_b, cap)
+            valid_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < jnp.minimum(counts_b, cap)[:, None]
+            idx_b = jnp.where(valid_b, win, 0)
+            g_b = packed[idx_b]  # (nb, cap, 10)
+            g_b = g_b.at[..., 5].set(jnp.where(valid_b, g_b[..., 5], 0.0))
+            gp = jnp.concatenate(
+                [g_b, jnp.zeros(g_b.shape[:2] + (PACK_ROWS - g_b.shape[-1],), g_b.dtype)],
+                axis=-1,
+            )
+            gp = jnp.transpose(gp, (0, 2, 1))  # (nb, 16, cap)
+            outs.append(
+                pallas_blend_permuted(
+                    gp, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
+                )
+            )
+            ladder_overflow += jnp.sum(jnp.maximum(counts_b - cap, 0))
+            r0 += nb
+        out = jnp.concatenate(outs, axis=0)[inv]  # (T, 8, P) back in tile order
+        rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))
+        dep = out[:, 3, :]
+        acc = out[:, 4, :]
+    elif bins.runs is not None:
         # aligned-runs path: one compact instance gather (M2 ~ 2.4x smaller
         # than the dense T*MAX windows), kernel addresses blocks via sblk
         from riggs_tpu.render.pallas_blend import pallas_blend_runs, PACK_ROWS
@@ -299,7 +352,7 @@ def rasterize_tiled(
     else:
         g = bins.gather(packed)  # (T, MAX, 10)
 
-    if bins.runs is not None:
+    if tile_ladder is not None or bins.runs is not None:
         pass  # blended above
     elif blend == "pallas":
         from riggs_tpu.render.pallas_blend import pallas_blend, PACK_ROWS
@@ -339,7 +392,10 @@ def rasterize_tiled(
     #   overflow_tiles -> raise max_per_tile; overflow_rect -> raise
     #   max_tiles_per_gaussian (the CUDA rasterizer has no such caps — it
     #   duplicates unboundedly; render_auto() escalates to match)
-    overflow_tiles = jnp.sum(jnp.maximum(bins.count - max_per_tile, 0))
+    if ladder_overflow is not None:
+        overflow_tiles = ladder_overflow
+    else:
+        overflow_tiles = jnp.sum(jnp.maximum(bins.count - max_per_tile, 0))
     overflow_rect = (
         bins.overflow if bins.overflow is not None else jnp.zeros((), jnp.int32)
     )

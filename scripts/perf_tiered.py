@@ -26,10 +26,18 @@ from bench import build_scene
 from riggs_tpu.camera import make_camera
 from riggs_tpu.render.tiles import rasterize_tiled
 
+# ladder for the bench scene's sorted-count curve (625 tiles, post-cull
+# counts 63..616): rank-dependent caps, 242k window rows vs 400k dense
+LADDER = ((64, 640), (128, 512), (192, 384), (241, 256))
+
 VARIANTS = {
     "one-window": dict(max_tiles_per_gaussian=16),
     "tiered-4": dict(max_tiles_per_gaussian=4, mid_cap=8192, mid_side=4),
     "tiered-9": dict(max_tiles_per_gaussian=9, mid_cap=2048, mid_side=5),
+    "ladder": dict(max_tiles_per_gaussian=16, tile_ladder=LADDER),
+    "tiered-4+ladder": dict(
+        max_tiles_per_gaussian=4, mid_cap=8192, mid_side=4, tile_ladder=LADDER
+    ),
 }
 
 

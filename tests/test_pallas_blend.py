@@ -59,3 +59,50 @@ class TestPallasBlend:
         ga = jax.grad(lambda m: jnp.mean(rasterize_tiled(cam, m, colors, opacity, scales, rots, bg, max_per_tile=512, blend="jnp")["image"]))(means)
         gb = jax.grad(lambda m: jnp.mean(rasterize_tiled(cam, m, colors, opacity, scales, rots, bg, max_per_tile=512, blend="pallas")["image"]))(means)
         np.testing.assert_allclose(ga, gb, atol=1e-4, rtol=1e-3)
+
+
+class TestLadderedWindows:
+    """Count-adaptive window capacities (tile_ladder): rank-sorted tiles get
+    smaller windows, shrinking the row-op-bound instance gather/scatter; the
+    permuted-tile kernel must reproduce the dense path exactly."""
+
+    def test_ladder_matches_dense_fwd_bwd(self, rng):
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.4)
+        bg = jnp.zeros(3)
+        T = 4 * 4
+        ladder = ((4, 512), (4, 256), (8, 128))
+
+        def loss(kw, m, c, o):
+            out = rasterize_tiled(big, m, c, o, scales, rots, bg, max_per_tile=512,
+                                  blend="pallas", **kw)
+            return jnp.sum(out["image"] * jnp.sin(1.0 + out["image"])), out
+
+        (la, a), ga = jax.value_and_grad(lambda m, c, o: loss({}, m, c, o), argnums=(0, 1, 2), has_aux=True)(
+            means, colors, opacity
+        )
+        (lb, b), gb = jax.value_and_grad(
+            lambda m, c, o: loss(dict(tile_ladder=ladder), m, c, o), argnums=(0, 1, 2), has_aux=True
+        )(means, colors, opacity)
+        # the densest 4 tiles must fit 512 for exactness of this comparison
+        assert int(b["overflow_tiles"]) == 0, int(b["overflow_tiles"])
+        np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a["depth"]), np.asarray(b["depth"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a["alpha"]), np.asarray(b["alpha"]), atol=2e-5)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-5)
+
+    def test_ladder_truncation_counted(self, rng):
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.2)
+        ladder = ((16, 128),)  # too small for the dense center tiles
+        out = rasterize_tiled(big, means, colors, opacity, scales, rots, jnp.zeros(3),
+                              max_per_tile=512, blend="pallas", tile_ladder=ladder)
+        assert int(out["overflow_tiles"]) > 0
+
+    def test_ladder_must_partition(self, rng):
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        means, colors, opacity, scales, rots = make_scene(rng, n=10)
+        with pytest.raises(ValueError):
+            rasterize_tiled(big, means, colors, opacity, scales, rots, jnp.zeros(3),
+                            blend="pallas", tile_ladder=((4, 128),))
