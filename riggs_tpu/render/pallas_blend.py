@@ -202,9 +202,10 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     cum = _cumsum_sublanes(lg)
     t_in = t_entry * jnp.exp(cum)
     one_m = 1.0 - alpha
-    t_exc = t_in / one_m
+    inv_onem = 1.0 / one_m  # one reciprocal, used twice (VPU divides are slow)
     incl = (t_in >= T_EPS).astype(jnp.float32)
-    w = alpha * t_exc * incl
+    te_i = t_in * inv_onem * incl  # t_exc * incl
+    w = alpha * te_i
 
     vg = _vg(gt)  # (8, G)
     # v_j . dC per pixel: (G, P)
@@ -221,7 +222,7 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     s_total = s_incl[G - 1 : G, :]  # (1, P)
     suf = (s_total - s_incl) + suffix[0:1, :]
 
-    dalpha = t_exc * incl * vdc - suf / one_m
+    dalpha = te_i * vdc - suf * inv_onem
     # chain through clamp/threshold to raw alpha (power<=0 is implied: _alphas
     # already zeroes raw there, which fails raw >= ALPHA_MIN)
     pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX)).astype(jnp.float32)
@@ -355,9 +356,10 @@ def _bwd_body_runs(g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry):
     cum = _cumsum_sublanes(lg)
     t_in = t_entry * jnp.exp(cum)
     one_m = 1.0 - alpha
-    t_exc = t_in / one_m
+    inv_onem = 1.0 / one_m
     incl = (t_in >= T_EPS).astype(jnp.float32)
-    w = alpha * t_exc * incl
+    te_i = t_in * inv_onem * incl
+    w = alpha * te_i
 
     vg = _vg(gt)
     vdc = jax.lax.dot_general(vg, dC, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -369,7 +371,7 @@ def _bwd_body_runs(g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry):
     s_total = s_incl[G - 1 : G, :]
     suf = (s_total - s_incl) + suffix[0:1, :]
 
-    dalpha = t_exc * incl * vdc - suf / one_m
+    dalpha = te_i * vdc - suf * inv_onem
     pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX) & (power <= 0.0)).astype(jnp.float32)
     draw = dalpha * pass_mask
     dpower = draw * raw
