@@ -55,6 +55,9 @@ def render(
     binning: str | None = None,
     max_instances: int | None = None,
     giant_cap: int | None = None,
+    mid_cap: int | None = None,
+    mid_side: int | None = None,
+    tile_ladder: tuple | None = None,
 ) -> dict[str, Any]:
     means3d = gs.xyz + d_xyz
     if scale_const is not None:
@@ -104,6 +107,12 @@ def render(
             kwargs["max_instances"] = max_instances
         if giant_cap is not None:
             kwargs["giant_cap"] = giant_cap
+        if mid_cap is not None:
+            kwargs["mid_cap"] = mid_cap
+        if mid_side is not None:
+            kwargs["mid_side"] = mid_side
+        if tile_ladder is not None:
+            kwargs["tile_ladder"] = tile_ladder
     out = fn(
         cam,
         means3d,

@@ -413,4 +413,5 @@ def rasterize_tiled(
         overflow_rect=overflow_rect,
         overflow_budget=overflow_budget,
         max_count=jnp.max(bins.count),
+        tile_counts=bins.count,  # (T,) true hit counts — ladder probing input
     )

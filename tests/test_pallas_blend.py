@@ -106,3 +106,26 @@ class TestLadderedWindows:
         with pytest.raises(ValueError):
             rasterize_tiled(big, means, colors, opacity, scales, rots, jnp.zeros(3),
                             blend="pallas", tile_ladder=((4, 128),))
+
+    def test_make_tile_ladder(self, rng):
+        from riggs_tpu.render.ladder import ladder_rows, make_tile_ladder
+
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.4)
+        probe = rasterize_tiled(big, means, colors, opacity, scales, rots, jnp.zeros(3),
+                                max_per_tile=512, blend="pallas")
+        counts = np.asarray(probe["tile_counts"])
+        ladder = make_tile_ladder(counts, n_buckets=3, margin=1.0)
+        T = counts.shape[0]
+        assert sum(n for n, _ in ladder) == T
+        caps = [c for _, c in ladder]
+        assert caps == sorted(caps, reverse=True)
+        # feasible: rendering with the ladder must not truncate
+        out = rasterize_tiled(big, means, colors, opacity, scales, rots, jnp.zeros(3),
+                              max_per_tile=512, blend="pallas", tile_ladder=ladder)
+        assert int(out["overflow_tiles"]) == 0
+        # and it must actually shrink the window area vs the dense layout
+        assert ladder_rows(ladder) < T * (-(-int(counts.max()) // 128) * 128) or counts.max() <= 128
+        # multi-frame envelope: a second probe folded in stays feasible
+        ladder2 = make_tile_ladder(np.stack([counts, counts // 2]), n_buckets=4)
+        assert sum(n for n, _ in ladder2) == T
