@@ -298,9 +298,16 @@ def rasterize_tiled(
         ladder_overflow = jnp.zeros((), jnp.int32)
         r0 = 0
         for nb, cap in tile_ladder:
-            cap = -(-cap // G_CHUNK) * G_CHUNK
             tids_b = ordr[r0 : r0 + nb]
             counts_b = bins.count[tids_b]
+            if cap == 0:
+                # empty-tile bucket: no windows, no kernel — background only.
+                # Any nonzero count here is truncation, counted for escalation.
+                outs.append(jnp.zeros((nb, 8, TILE * TILE), jnp.float32))
+                ladder_overflow += jnp.sum(counts_b)
+                r0 += nb
+                continue
+            cap = -(-cap // G_CHUNK) * G_CHUNK
             starts_b = bins.starts[tids_b]
             win = _extract_windows(gid_pad, starts_b, cap)
             valid_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < jnp.minimum(counts_b, cap)[:, None]

@@ -129,3 +129,22 @@ class TestLadderedWindows:
         # multi-frame envelope: a second probe folded in stays feasible
         ladder2 = make_tile_ladder(np.stack([counts, counts // 2]), n_buckets=4)
         assert sum(n for n, _ in ladder2) == T
+
+    def test_ladder_zero_cap_bucket_skips_empty_tiles(self, rng):
+        from riggs_tpu.render.ladder import make_tile_ladder
+
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        # tight cluster: most of the 16 tiles are empty
+        means, colors, opacity, scales, rots = make_scene(rng, n=150, seed_extent=0.1)
+        bg = jnp.full(3, 0.25)
+        probe = rasterize_tiled(big, means, colors, opacity, scales, rots, bg,
+                                max_per_tile=256, blend="pallas")
+        counts = np.asarray(probe["tile_counts"])
+        assert (counts == 0).any(), "fixture should have empty tiles"
+        ladder = make_tile_ladder(counts, n_buckets=3, margin=1.0, min_cap=0)
+        assert ladder[-1][1] == 0  # trailing empty bucket
+        out = rasterize_tiled(big, means, colors, opacity, scales, rots, bg,
+                              max_per_tile=256, blend="pallas", tile_ladder=ladder)
+        assert int(out["overflow_tiles"]) == 0
+        np.testing.assert_allclose(np.asarray(probe["image"]), np.asarray(out["image"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(probe["alpha"]), np.asarray(out["alpha"]), atol=2e-5)
