@@ -152,6 +152,108 @@ def make_dp_stage2_step(
     return step
 
 
+def make_dp_stage1_step(
+    mesh: Mesh,
+    warm: bool = False,
+    active_sh: int = 0,
+    use_chamfer: bool = False,
+    use_motion_loss: bool = False,
+    lambda_chamfer: float = 1e-3,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 1024,
+    isotropic: bool = False,
+):
+    """Build a jitted frame-parallel stage-1 phase-B training step over
+    ``mesh``.
+
+    Carries the full ``train.stage1.stage1_frame_loss`` set (photometric +
+    landmark-scheduled ARAP + motion-mask + 2D-skeleton chamfer — the
+    train_gui.py:1025-1145 semantics), per-group LR dicts for the Gaussian
+    and warp param groups, and densification-stat accumulation summed over
+    the frame batch exactly as B sequential single-chip ``phase_b_step``
+    iterations would (mean-gradient 1/B factor undone). Frames, ARAP keys
+    and the per-frame lambdas shard over 'data'; state is replicated, so the
+    mean over frames becomes a psum over ICI.
+
+    The optical-flow loss is intentionally absent here: flow partner frames
+    are drawn per-step on the host (train_stage1's flow_store) and the
+    sharded step would need a second full warp+render per frame; use the
+    single-chip step when ``use_flow_loss`` is on.
+    """
+    from riggs_tpu.train.stage1 import Stage1State, stage1_frame_loss
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion):
+        def one(frame, m2b_f, key):
+            loss, (out, aux) = stage1_frame_loss(
+                params, state, frame, bg, m2b_f, key, lambda_arap, lambda_motion,
+                lambda_chamfer=lambda_chamfer,
+                warm=warm,
+                active_sh=active_sh,
+                use_chamfer=use_chamfer,
+                use_motion_loss=use_motion_loss,
+                lambda_dssim=lambda_dssim,
+                max_per_tile=max_per_tile,
+                isotropic=isotropic,
+            )
+            per_frame = {
+                "radii": out["radii"],
+                "visible": out["visibility_filter"],
+                "psnr": L.psnr(out["render"], frame.image),
+            }
+            return loss, per_frame
+
+        losses, pf = jax.vmap(one)(frame_batch, m2b, keys)
+        return jnp.mean(losses), pf
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, batch_sh, repl, repl, repl, batch_sh, repl, repl),
+        out_shardings=(repl, repl),
+    )
+    def step(
+        state: Stage1State,
+        frame_batch: Frame,
+        bg: jax.Array,
+        lrs_gs: dict,
+        lrs_warp: dict,
+        keys: jax.Array,  # (B, 2) ARAP subsampling keys
+        lambda_arap: jax.Array,
+        lambda_motion: jax.Array,
+    ):
+        B = keys.shape[0]
+        params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
+        m2b = jnp.zeros((B,) + state.gs.xyz[:, :2].shape)
+        (loss, pf), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 4), has_aux=True)(
+            params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion
+        )
+        new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+        new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)
+        stats = state.stats_gs
+        for b in range(B):
+            stats = G.add_densification_stats(
+                stats,
+                gm2b[b] * B,
+                pf["radii"][b],
+                pf["visible"][b],
+                frame_batch.cam.width,
+                frame_batch.cam.height,
+            )
+        new_state = dataclasses.replace(
+            state,
+            gs=state.gs.replace_params(new_gs_p),
+            warp=state.warp.replace_params(new_warp_p),
+            opt_gs=opt_gs,
+            opt_warp=opt_warp,
+            stats_gs=stats,
+        )
+        return new_state, {"loss": loss, "psnr": jnp.mean(pf["psnr"])}
+
+    return step
+
+
 def make_dp_static_step(
     mesh: Mesh,
     active_sh: int = 0,

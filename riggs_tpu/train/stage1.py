@@ -401,6 +401,119 @@ def finalize_nodes(state: Stage1State) -> Stage1State:
 # ---------------------------------------------------------------------------
 
 
+def stage1_frame_loss(
+    params,
+    state: "Stage1State",
+    frame: Frame,
+    bg: jax.Array,
+    mean2d_bias: jax.Array,
+    key: jax.Array,
+    lambda_arap: jax.Array,
+    lambda_motion: jax.Array,
+    lambda_flow: jax.Array | float = 0.0,
+    lambda_chamfer: float = 1e-3,
+    warm: bool = False,
+    active_sh: int = 0,
+    use_chamfer: bool = False,
+    use_motion_loss: bool = False,
+    use_flow_loss: bool = False,
+    lambda_dssim: float = 0.2,
+    max_per_tile: int = 1024,
+    isotropic: bool = False,
+):
+    """Stage-1 phase-B per-frame loss (train_gui.py:1025-1145 semantics) —
+    shared by the single-chip ``phase_b_step`` and the frame-parallel
+    ``parallel.train.make_dp_stage1_step``."""
+    gs = state.gs.replace_params(params["gs"])
+    warp = state.warp.replace_params(params["warp"])
+    d = NW.warp_forward(
+        warp,
+        jax.lax.stop_gradient(gs.xyz),
+        frame.fid,
+        gs.feature,
+        gs.motion_mask,
+        local_frame=warp.net.local_frame,
+    )
+    d_xyz, d_rot = d["d_xyz"], d["d_rotation"]
+    if warm:
+        d_xyz = jax.lax.stop_gradient(d_xyz)
+        d_rot = jax.lax.stop_gradient(d_rot)
+    d_scaling = jnp.zeros_like(d["d_scaling"])  # train_gui.py:1053 zeroes it
+    if isotropic:
+        d_rot = jnp.zeros_like(d_rot)
+    out = render(
+        frame.cam,
+        gs,
+        bg,
+        d_xyz=d_xyz,
+        d_rotation=d_rot,
+        d_scaling=d_scaling,
+        active_sh_degree=active_sh,
+        mean2d_bias=mean2d_bias,
+        max_per_tile=max_per_tile,
+    )
+    loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
+    aux = {"img_loss": loss}
+    # ARAP regularizer with landmark-scheduled lambda (dynamic scalar)
+    aux["arap"] = NW.arap_loss(warp, key)
+    loss = loss + lambda_arap * aux["arap"]
+    if use_flow_loss and frame.flow is not None:
+        # optical-flow loss (train_gui.py:1080-1121): render the NDC scene
+        # flow between this frame's pose and the partner frame's pose and
+        # L1-match the RAFT flow where the motion is solid & consistent
+        from riggs_tpu.render.api import render_flow
+
+        d2 = NW.warp_forward(
+            warp,
+            jax.lax.stop_gradient(gs.xyz),
+            frame.flow_partner_fid,
+            gs.feature,
+            gs.motion_mask,
+            local_frame=warp.net.local_frame,
+        )
+        fout = render_flow(
+            frame.cam, frame.cam, gs, d_xyz, d2["d_xyz"], d_rot, max_per_tile=max_per_tile
+        )
+        size = jnp.asarray([frame.cam.width, frame.cam.height], jnp.float32)
+        gt_flow_ndc = frame.flow / size * 2.0
+        pair_w = jnp.clip(
+            jnp.cos(jnp.abs(frame.fid - frame.flow_partner_fid) * jnp.pi / 2.0), 0.2, 1.0
+        )
+        solid = jax.lax.stop_gradient(fout["alpha"] > 0.9)
+        # down-weight pixels the photometric loss already explains poorly
+        l1w = jnp.cos(
+            jnp.mean(jnp.abs(jax.lax.stop_gradient(out["render"]) - frame.image), axis=-1)
+            * jnp.pi
+            / 2.0
+        )
+        m = (solid & (frame.flow_mask > 0)).astype(jnp.float32) * pair_w * l1w
+        flow_l1 = L.l1_loss(m[..., None] * gt_flow_ndc, m[..., None] * fout["render"][..., :2])
+        loss = loss + lambda_flow * flow_l1
+        aux["flow"] = flow_l1
+    if use_motion_loss and frame.alpha_mask is not None:
+        mout = render(
+            frame.cam,
+            gs,
+            bg,
+            d_xyz=d_xyz,
+            d_rotation=d_rot,
+            d_scaling=d_scaling,
+            render_motion=True,
+            detach_xyz=True,
+            detach_rot=True,
+            detach_scale=True,
+            detach_opacity=True,
+            max_per_tile=max_per_tile,
+        )
+        loss = loss + lambda_motion * L.l1_loss(mout["render"][..., 0], frame.alpha_mask)
+    if use_chamfer and frame.thinned is not None:
+        proj = project_nodes_2d(frame.cam, d["d_nodes"])
+        cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
+        loss = loss + lambda_chamfer * cd
+        aux["chamfer"] = cd
+    return loss, (out, aux)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -437,94 +550,13 @@ def phase_b_step(
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
 
     def loss_fn(params, mean2d_bias):
-        gs = state.gs.replace_params(params["gs"])
-        warp = state.warp.replace_params(params["warp"])
-        d = NW.warp_forward(
-            warp,
-            jax.lax.stop_gradient(gs.xyz),
-            frame.fid,
-            gs.feature,
-            gs.motion_mask,
-            local_frame=warp.net.local_frame,
+        return stage1_frame_loss(
+            params, state, frame, bg, mean2d_bias, key, lambda_arap, lambda_motion,
+            lambda_flow, lambda_chamfer, warm=warm, active_sh=active_sh,
+            use_chamfer=use_chamfer, use_motion_loss=use_motion_loss,
+            use_flow_loss=use_flow_loss, lambda_dssim=lambda_dssim,
+            max_per_tile=max_per_tile, isotropic=isotropic,
         )
-        d_xyz, d_rot = d["d_xyz"], d["d_rotation"]
-        if warm:
-            d_xyz = jax.lax.stop_gradient(d_xyz)
-            d_rot = jax.lax.stop_gradient(d_rot)
-        d_scaling = jnp.zeros_like(d["d_scaling"])  # train_gui.py:1053 zeroes it
-        if isotropic:
-            d_rot = jnp.zeros_like(d_rot)
-        out = render(
-            frame.cam,
-            gs,
-            bg,
-            d_xyz=d_xyz,
-            d_rotation=d_rot,
-            d_scaling=d_scaling,
-            active_sh_degree=active_sh,
-            mean2d_bias=mean2d_bias,
-            max_per_tile=max_per_tile,
-        )
-        loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
-        aux = {"img_loss": loss}
-        # ARAP regularizer with landmark-scheduled lambda (dynamic scalar)
-        aux["arap"] = NW.arap_loss(warp, key)
-        loss = loss + lambda_arap * aux["arap"]
-        if use_flow_loss and frame.flow is not None:
-            # optical-flow loss (train_gui.py:1080-1121): render the NDC scene
-            # flow between this frame's pose and the partner frame's pose and
-            # L1-match the RAFT flow where the motion is solid & consistent
-            from riggs_tpu.render.api import render_flow
-
-            d2 = NW.warp_forward(
-                warp,
-                jax.lax.stop_gradient(gs.xyz),
-                frame.flow_partner_fid,
-                gs.feature,
-                gs.motion_mask,
-                local_frame=warp.net.local_frame,
-            )
-            fout = render_flow(
-                frame.cam, frame.cam, gs, d_xyz, d2["d_xyz"], d_rot, max_per_tile=max_per_tile
-            )
-            size = jnp.asarray([frame.cam.width, frame.cam.height], jnp.float32)
-            gt_flow_ndc = frame.flow / size * 2.0
-            pair_w = jnp.clip(
-                jnp.cos(jnp.abs(frame.fid - frame.flow_partner_fid) * jnp.pi / 2.0), 0.2, 1.0
-            )
-            solid = jax.lax.stop_gradient(fout["alpha"] > 0.9)
-            # down-weight pixels the photometric loss already explains poorly
-            l1w = jnp.cos(
-                jnp.mean(jnp.abs(jax.lax.stop_gradient(out["render"]) - frame.image), axis=-1)
-                * jnp.pi
-                / 2.0
-            )
-            m = (solid & (frame.flow_mask > 0)).astype(jnp.float32) * pair_w * l1w
-            flow_l1 = L.l1_loss(m[..., None] * gt_flow_ndc, m[..., None] * fout["render"][..., :2])
-            loss = loss + lambda_flow * flow_l1
-            aux["flow"] = flow_l1
-        if use_motion_loss and frame.alpha_mask is not None:
-            mout = render(
-                frame.cam,
-                gs,
-                bg,
-                d_xyz=d_xyz,
-                d_rotation=d_rot,
-                d_scaling=d_scaling,
-                render_motion=True,
-                detach_xyz=True,
-                detach_rot=True,
-                detach_scale=True,
-                detach_opacity=True,
-                max_per_tile=max_per_tile,
-            )
-            loss = loss + lambda_motion * L.l1_loss(mout["render"][..., 0], frame.alpha_mask)
-        if use_chamfer and frame.thinned is not None:
-            proj = project_nodes_2d(frame.cam, d["d_nodes"])
-            cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
-            loss = loss + lambda_chamfer * cd
-            aux["chamfer"] = cd
-        return loss, (out, aux)
 
     params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
     (loss, (out, aux)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, m2b)

@@ -7,7 +7,12 @@ import numpy as np
 import pytest
 
 from riggs_tpu.parallel.mesh import make_mesh, shard_batch, data_sharded
-from riggs_tpu.parallel.train import make_dp_static_step, make_dp_stage2_step, stack_frames
+from riggs_tpu.parallel.train import (
+    make_dp_stage1_step,
+    make_dp_stage2_step,
+    make_dp_static_step,
+    stack_frames,
+)
 
 
 @pytest.fixture(scope="module")
@@ -156,6 +161,80 @@ class TestMesh:
             new_state, m = step(
                 state, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
                 i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+            )
+            results.append((new_state, float(m["loss"])))
+        (s1, l1), (s8, l8) = results
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+class TestDpStage1:
+    @staticmethod
+    def _stage1_fixture(n_train=8):
+        from riggs_tpu.data.synthetic import make_scene_data
+        from riggs_tpu.train.stage1 import init_stage1
+        from tests.test_stage1 import tiny_config
+
+        _, scene = make_scene_data(
+            n_train=n_train, n_test=1, width=64, height=64, max_thinned=64, n_init_points=150
+        )
+        cfg = tiny_config()
+        state = init_stage1(jax.random.PRNGKey(0), scene, cfg)
+        return scene, state
+
+    @staticmethod
+    def _stage1_inputs(state, B):
+        return dict(
+            bg=jnp.zeros(3),
+            lrs_gs={k: jnp.asarray(1e-3, jnp.float32) for k in state.gs.params_dict()},
+            lrs_warp={k: jnp.asarray(1e-3, jnp.float32) for k in state.warp.params_dict()},
+            keys=jax.random.split(jax.random.PRNGKey(7), B),
+            lambda_arap=jnp.asarray(0.1, jnp.float32),
+            lambda_motion=jnp.asarray(0.0, jnp.float32),
+        )
+
+    @pytest.mark.slow
+    def test_dp_stage1_matches_single_chip_semantics(self):
+        """B=1 dp step == the real single-chip phase_b_step: same loss and
+        same post-Adam state leaves (VERDICT round-1 item 2, stage-1 half)."""
+        from riggs_tpu.train.stage1 import phase_b_step
+
+        scene, state = self._stage1_fixture(n_train=2)
+        mesh = make_mesh(data=1, tile=1)
+        step = make_dp_stage1_step(mesh, active_sh=1, max_per_tile=128, use_chamfer=True)
+        frame = scene.train_frames[0]
+        i = self._stage1_inputs(state, 1)
+        dp_state, dp_m = step(
+            state, stack_frames([frame]), i["bg"], i["lrs_gs"], i["lrs_warp"],
+            i["keys"], i["lambda_arap"], i["lambda_motion"],
+        )
+        ref_state, ref_m = phase_b_step(
+            state, frame, i["bg"], i["lrs_gs"], i["lrs_warp"], i["keys"][0],
+            i["lambda_arap"], i["lambda_motion"],
+            active_sh=1, max_per_tile=128, use_chamfer=True,
+        )
+        np.testing.assert_allclose(float(dp_m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+        ref_leaves = jax.tree.leaves(ref_state)
+        dp_leaves = jax.tree.leaves(dp_state)
+        assert len(ref_leaves) == len(dp_leaves)
+        for a, b in zip(ref_leaves, dp_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_dp_stage1_sharded_matches_one_device(self):
+        scene, state = self._stage1_fixture(n_train=8)
+        B = 8
+        i = self._stage1_inputs(state, B)
+        frames = stack_frames(scene.train_frames[:B])
+        results = []
+        for ndev in (1, 8):
+            mesh = make_mesh(data=ndev, tile=1)
+            step = make_dp_stage1_step(mesh, active_sh=1, max_per_tile=128, use_chamfer=True)
+            batch = shard_batch(frames, mesh)
+            new_state, m = step(
+                state, batch, i["bg"], i["lrs_gs"], i["lrs_warp"],
+                i["keys"], i["lambda_arap"], i["lambda_motion"],
             )
             results.append((new_state, float(m["loss"])))
         (s1, l1), (s8, l8) = results
