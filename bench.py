@@ -48,10 +48,14 @@ def main():
     ap.add_argument("--max-per-tile", type=int, default=640)
     ap.add_argument("--platform", type=str, default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--blend", type=str, default="pallas", choices=["pallas", "jnp"])
+    ap.add_argument(
+        "--ladder", action="store_true",
+        help="count-adaptive per-tile window capacities (probe + make_tile_ladder)",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.platform == "cpu":
+    if args.platform == "cpu" and not args.ladder:
         args.blend = "jnp"  # pallas interpret mode is slow; cpu smoke uses XLA path
 
     from riggs_tpu.camera import make_camera
@@ -63,10 +67,22 @@ def main():
     means, colors, opacity, scales, rots = build_scene(args.gaussians)
     bg = jnp.zeros(3)
 
+    extra = {}
+    if args.ladder:
+        # probe once with plain windows to collect true per-tile hit counts,
+        # then fit the rank->capacity ladder (render/ladder.py)
+        from riggs_tpu.render.ladder import make_tile_ladder
+
+        probe = rasterize_tiled(
+            cam, means, colors, opacity, scales, rots, bg,
+            max_per_tile=args.max_per_tile, blend=args.blend,
+        )
+        extra["tile_ladder"] = make_tile_ladder(np.asarray(probe["tile_counts"]))
+
     def loss_fn(means, colors, opacity, scales, rots):
         out = rasterize_tiled(
             cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile,
-            blend=args.blend,
+            blend=args.blend, **extra,
         )
         return jnp.mean(out["image"]) + jnp.mean(out["depth"]) * 0.0
 
@@ -75,7 +91,7 @@ def main():
     # honesty check: the configured caps must not truncate this scene
     chk = rasterize_tiled(
         cam, means, colors, opacity, scales, rots, bg, max_per_tile=args.max_per_tile,
-        blend=args.blend,
+        blend=args.blend, **extra,
     )
     assert int(chk["overflow"]) == 0, f"bench caps truncate: {int(chk['overflow'])}"
 
