@@ -17,6 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -35,6 +36,12 @@ def main():
     ap.add_argument("--stage", choices=["1", "2", "both"], default="both")
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--viewer_port", type=int, default=0, help="serve a live training viewer")
+    ap.add_argument("--gui_ip", type=str, default="127.0.0.1", help="SIBR remote-viewer host")
+    ap.add_argument(
+        "--gui_port", type=int, default=0,
+        help="speak the SIBR network_gui protocol on this port (reference train_gui "
+        "--ip/--port; each new viewer resolution costs one jit compile)",
+    )
     ap.add_argument("--test_every", type=int, default=1000)
     ap.add_argument("--tensorboard", action="store_true")
     ap.add_argument("--resume", action="store_true", help="continue stage 2 from the latest checkpoint")
@@ -86,15 +93,42 @@ def main():
             port=args.viewer_port, blocking=False
         )
 
+    sibr = None
+    if args.gui_port:
+        from riggs_tpu.viz.sibr import SibrServer
+
+        sibr = SibrServer(
+            args.gui_ip, args.gui_port, verify=str(cfg.model.source_path or model_path)
+        )
+        print(f"SIBR network_gui listening on {args.gui_ip}:{sibr.port}")
+
+        def sibr_render(cam, scaling_modifier):
+            from riggs_tpu.render.api import render as _render
+
+            gs = live["gs"]
+            if gs is None:
+                import numpy as _np
+
+                return _np.zeros((cam.height, cam.width, 3), _np.float32)
+            out = _render(
+                cam, gs, jnp.zeros(3), scaling_modifier=scaling_modifier,
+                active_sh_degree=gs.max_sh_degree, max_per_tile=cfg.pipe.max_per_tile,
+            )
+            return out["render"]
+
     def s1_cb(state, it):
         live["gs"], live["warp"] = state.gs, state.warp
+        if sibr is not None:
+            sibr.poll(sibr_render)
 
     def s2_cb(state, it):
         live["gs"], live["skel"], live["warp"] = state.gs, state.skel, None
+        if sibr is not None:
+            sibr.poll(sibr_render)
 
     t0 = time.time()
     s1, hist1 = train_stage1(scene, cfg, log_every=500,
-                             step_callback=s1_cb if args.viewer_port else None)
+                             step_callback=s1_cb if (args.viewer_port or args.gui_port) else None)
     print(f"stage 1 done in {time.time() - t0:.0f}s")
     save_checkpoint(model_path, cfg.opt.iterations, s1, gs=s1.gs, cfg=cfg)
 
@@ -110,7 +144,7 @@ def main():
             scene,
             cfg,
             log_every=500,
-            step_callback=s2_cb if args.viewer_port else None,
+            step_callback=s2_cb if (args.viewer_port or args.gui_port) else None,
             test_every=args.test_every,
             model_path=model_path / "rig",
             logger=logger,
