@@ -66,6 +66,7 @@ def main():
     s2, info, hist = train_stage2(
         s1, scene, cfg, log_every=500, test_every=args.test_every,
         model_path=model_path / "rig",
+        resume=True,  # pick up stage-2 checkpoints if a prior attempt saved any
     )
     print(f"stage 2 done in {time.time() - t0:.0f}s", flush=True)
     save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
