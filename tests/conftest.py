@@ -31,6 +31,40 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 import pytest
 
+# Heaviest files first: under xdist --dist loadfile, files are handed to
+# workers in collection order, so dispatching the multi-minute training
+# smokes early keeps the critical path near total/n_workers instead of
+# serializing a heavy file at the end.
+_HEAVY_FILES = [
+    "test_stage2.py",
+    "test_stage1.py",
+    "test_train_static.py",
+    "test_parallel.py",
+    "test_more_models.py",
+    "test_pallas_blend.py",
+    "test_render.py",
+]
+
+
+# Seconds-scale files auto-marked `fast`: pure math / protocol / reader units
+# with no training loops and no Pallas compiles. `pytest -m fast` gives a
+# <60s smoke signal.
+_FAST_FILES = {
+    "test_skeleton.py",
+    "test_edit.py",
+    "test_more_readers.py",
+    "test_sibr.py",
+    "test_anim_se3.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    rank = {name: i for i, name in enumerate(_HEAVY_FILES)}
+    items.sort(key=lambda it: rank.get(it.path.name, len(_HEAVY_FILES)))
+    for it in items:
+        if it.path.name in _FAST_FILES:
+            it.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

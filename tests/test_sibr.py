@@ -1,6 +1,7 @@
 """SIBR network_gui wire-protocol round trip (reference
 gaussian_renderer/network_gui.py + train_gui.py:983-996)."""
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -66,11 +67,14 @@ class TestSibrRoundTrip:
 
         t = threading.Thread(target=client_side)
         t.start()
-        # service passes until the client request has been answered
+        # service passes until the client request has been answered (the
+        # sleep yields to the client thread: under a loaded box all polls
+        # could otherwise complete before the client's connect lands)
         for _ in range(200):
             server.poll(render_fn)
             if result:
                 break
+            time.sleep(0.05)
         t.join(timeout=5)
         server.close()
         assert result["verify"] == "/data/scene"
