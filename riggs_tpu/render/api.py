@@ -138,6 +138,7 @@ def render(
         "overflow_rect": out.get("overflow_rect", jnp.zeros((), jnp.int32)),
         "overflow_budget": out.get("overflow_budget", jnp.zeros((), jnp.int32)),
         "max_count": out.get("max_count", jnp.zeros((), jnp.int32)),
+        "tile_counts": out.get("tile_counts"),  # (T,) — ladder probing input
     }
 
 

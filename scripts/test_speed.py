@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--renders", type=int, default=500)
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--ladder", action="store_true",
+        help="probe 8 poses, fit count-adaptive tile windows (render/ladder.py)",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -61,6 +65,25 @@ def main():
         cam = OrbitCamera(width=args.size, height=args.size).to_camera()
 
     bg = jnp.zeros(3)
+    blend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
+
+    extra = {}
+    if args.ladder and blend == "pallas":
+        # per-pose tile counts vary as the skeleton animates: probe a few
+        # poses and fit the rank envelope (make_tile_ladder multi-frame form)
+        from riggs_tpu.render.ladder import make_tile_ladder
+
+        @jax.jit
+        def probe(t):
+            d = SW.skeleton_forward(skel, gs.xyz, t, gs.motion_mask)
+            return render(
+                cam, gs, bg, d_xyz=d["d_xyz"], d_rotation=d["d_rotation"],
+                active_sh_degree=gs.max_sh_degree, blend=blend,
+            )["tile_counts"]
+
+        counts = np.stack([np.asarray(probe(jnp.asarray(t / 8))) for t in range(8)])
+        extra["tile_ladder"] = make_tile_ladder(counts)
+        print(f"ladder: {extra['tile_ladder']}")
 
     @jax.jit
     def frame(t):
@@ -72,7 +95,8 @@ def main():
             d_xyz=d["d_xyz"],
             d_rotation=d["d_rotation"],
             active_sh_degree=gs.max_sh_degree,
-            blend="pallas" if jax.devices()[0].platform != "cpu" else "jnp",
+            blend=blend,
+            **extra,
         )["render"]
 
     out = frame(jnp.asarray(0.0))
