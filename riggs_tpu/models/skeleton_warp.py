@@ -217,21 +217,27 @@ def cal_nn_weight_skeleton(
     warp: SkeletonWarp,
     x: jax.Array,
     joints: jax.Array | None = None,
-    use_skinning_mlp: bool | None = None,
+    use_skinning_mlp: bool | jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Skinning weights (skeleton_warp.py:41-76).
 
     Returns (weight (N, K'), dist2 (N, K'), joint_idx (N, K')) where joint_idx
     points at the bone's child joint (bone index + 1)."""
     use_sm = warp.net.use_skinning_mlp if use_skinning_mlp is None else use_skinning_mlp
-    use_sm = use_sm and warp.weight_mlp is not None
+    if warp.weight_mlp is None:
+        use_sm = False
+    # traced 0/1 weight: w_sm=0 blends offs -> 1 (exact no-op), so the staged
+    # skinning-MLP unlock (train_rig.py:398-408) reuses one compiled program
+    # instead of recompiling the whole training step. `False` (python bool)
+    # keeps the MLP out of the graph entirely for nets that never enable it.
+    mlp_in_graph = not (isinstance(use_sm, bool) and not use_sm)
     d2 = bone_dist2(warp, jax.lax.stop_gradient(x), joints)
     if warp.net.K > 0:
         K = warp.net.K
         neg, bone_idx = jax.lax.top_k(-d2, K)
         nn_d2 = -neg
         joint_idx = bone_idx + 1
-        if use_sm:
+        if mlp_in_graph:
             offs = skinning_mlp_weights(warp, x)
             offs = jnp.take_along_axis(offs, bone_idx, axis=1)
         else:
@@ -241,12 +247,13 @@ def cal_nn_weight_skeleton(
         joint_idx = jnp.broadcast_to(
             jnp.arange(1, warp.net.n_joints, dtype=jnp.int32)[None, :], d2.shape
         )
-        offs = skinning_mlp_weights(warp, x) if use_sm else None
+        offs = skinning_mlp_weights(warp, x) if mlp_in_graph else None
 
     radius = warp.node_radius[joint_idx]
     w = jnp.exp(-nn_d2 / (2.0 * radius**2))
     if offs is not None:
-        w = w * offs
+        w_sm = jnp.float32(use_sm)
+        w = w * (1.0 + w_sm * (offs - 1.0))
     w = w + 1e-7
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     return w, nn_d2, joint_idx
@@ -263,16 +270,17 @@ def deform_by_pose(
     local_rotation: jax.Array,
     global_trans: jax.Array,
     motion_mask: jax.Array,
-    enable_template_offsets: bool | None = None,
-    enable_skinning_mlp: bool | None = None,
+    enable_template_offsets: bool | jax.Array | None = None,
+    enable_skinning_mlp: bool | jax.Array | None = None,
 ) -> dict:
     """Pose the skeleton and skin the Gaussians (skeleton_warp.py:130-172).
 
     The enable_* flags implement the reference's staged unlocking
     (train_rig.py:398-408: template offsets + skinning MLP are switched off
-    until iteration 15000). They are static per jit-variant and default to the
-    net definition; the param pytree keeps both MLPs either way so optimizer
-    state stays structure-stable across the unlock."""
+    until iteration 15000). They accept traced 0/1 arrays so the unlock does
+    not recompile the training step (exact: weight-form no-ops at 0); the
+    param pytree keeps both MLPs either way so optimizer state stays
+    structure-stable across the unlock."""
     use_to = warp.net.use_template_offsets if enable_template_offsets is None else enable_template_offsets
     use_sm = warp.net.use_skinning_mlp if enable_skinning_mlp is None else enable_skinning_mlp
     x = jax.lax.stop_gradient(x)
@@ -286,9 +294,11 @@ def deform_by_pose(
     Ax = jnp.einsum("nkab,nb->nka", Grot[nn_idx], x) + Gtrans[nn_idx]
     Ax_avg = jnp.sum(Ax * nn_weight[..., None], axis=1)
 
-    if use_to and warp.detail_mlp is not None:
+    # traced 0/1 weight (same one-compiled-program rationale as the skinning
+    # MLP above); a python-bool False keeps the detail MLP out of the graph
+    if warp.detail_mlp is not None and not (isinstance(use_to, bool) and not use_to):
         pose_vec = jax.lax.stop_gradient(local_rotation).reshape(-1)
-        template_offsets = detail_offsets(warp, x, pose_vec)
+        template_offsets = jnp.float32(use_to) * detail_offsets(warp, x, pose_vec)
     else:
         template_offsets = jnp.zeros_like(x)
     Ax_avg = Ax_avg + global_trans + template_offsets
@@ -315,8 +325,8 @@ def skeleton_forward(
     x: jax.Array,
     t: jax.Array,
     motion_mask: jax.Array,
-    enable_template_offsets: bool | None = None,
-    enable_skinning_mlp: bool | None = None,
+    enable_template_offsets: bool | jax.Array | None = None,
+    enable_skinning_mlp: bool | jax.Array | None = None,
 ) -> dict:
     """Full forward: pose_net(t) then deform_by_pose (skeleton_warp.py:112-126)."""
     pose = pose_at(warp, t)

@@ -80,6 +80,23 @@ def eval_sh(degree: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
     return result
 
 
+def eval_sh_dyn(sh: jax.Array, dirs: jax.Array, active_degree: jax.Array) -> jax.Array:
+    """``eval_sh`` with a *traced* active degree.
+
+    Evaluates the full degree implied by the coefficient count and zeroes the
+    bands above ``active_degree`` — numerically identical to
+    ``eval_sh(active_degree, ...)`` (truncation == zero-weighting) but one
+    compiled program for the whole SH warmup schedule, instead of one
+    recompile of the enclosing training step per degree bump
+    (reference oneupSHdegree, train_gui.py:1001).
+    """
+    K = sh.shape[-2]
+    max_degree = int(round(K**0.5)) - 1
+    band = jnp.floor(jnp.sqrt(jnp.arange(K, dtype=jnp.float32) + 0.5)).astype(jnp.int32)
+    mask = (band <= active_degree).astype(sh.dtype)
+    return eval_sh(max_degree, sh * mask[:, None], dirs)
+
+
 def rgb_to_sh_dc(rgb: jax.Array) -> jax.Array:
     """RGB in [0,1] -> DC SH coefficient."""
     return (rgb - 0.5) / C0

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from riggs_tpu.camera.camera import Camera, camera_center
 from riggs_tpu.models.gaussians import Gaussians
 from riggs_tpu.ops.quaternion import quat_multiply, quat_normalize
-from riggs_tpu.ops.sh import eval_sh
+from riggs_tpu.ops.sh import eval_sh, eval_sh_dyn
 from riggs_tpu.render import tiles as _tiles
 from riggs_tpu.render import oracle as _oracle
 from riggs_tpu.render.project import build_cov3d
@@ -37,7 +37,7 @@ def render(
     d_scaling: jax.Array | float = 0.0,
     d_opacity: jax.Array | None = None,
     d_color: jax.Array | None = None,
-    active_sh_degree: int = 0,
+    active_sh_degree: int | jax.Array = 0,
     scaling_modifier: float = 1.0,
     override_color: jax.Array | None = None,
     render_motion: bool = False,
@@ -81,7 +81,11 @@ def render(
             feats = jnp.concatenate([feats[:, :1] + d_color[:, None], feats[:, 1:]], axis=1)
         dirs = means3d - camera_center(cam)
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-        colors = jnp.maximum(eval_sh(active_sh_degree, feats, dirs) + 0.5, 0.0)
+        if isinstance(active_sh_degree, int):
+            colors = jnp.maximum(eval_sh(active_sh_degree, feats, dirs) + 0.5, 0.0)
+        else:
+            # traced degree: one compiled program across the SH warmup
+            colors = jnp.maximum(eval_sh_dyn(feats, dirs, active_sh_degree) + 0.5, 0.0)
 
     if detach_xyz:
         means3d = jax.lax.stop_gradient(means3d)

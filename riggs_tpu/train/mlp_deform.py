@@ -36,28 +36,28 @@ class MlpDeformState:
     stats: G.DensifyStats
 
 
-@partial(jax.jit, static_argnames=("warm", "active_sh", "lambda_dssim", "max_per_tile"))
+@partial(jax.jit, static_argnames=("lambda_dssim", "max_per_tile"))
 def mlp_deform_step(
     state: MlpDeformState,
     frame: Frame,
     bg: jax.Array,
     lrs_gs: dict,
     lrs_deform,
-    warm: bool = False,
-    active_sh: int = 0,
+    warm: bool | jax.Array = False,
+    active_sh: int | jax.Array = 0,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
 ):
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
+    # warm is a traced 0/1 weight (0-weighted deform == the old static-args
+    # canonical warmup, exactly): one compiled program across the boundary
+    w = 1.0 - jnp.float32(warm)
 
     def loss_fn(params, mean2d_bias):
         gs = state.gs.replace_params(params["gs"])
         deform = state.deform.replace_params(params["deform"])
-        if warm:
-            d_xyz = d_rot = d_scale = 0.0
-        else:
-            d = mlp_deform_forward(deform, gs.xyz, frame.fid, gs.motion_mask)
-            d_xyz, d_rot, d_scale = d["d_xyz"], d["d_rotation"], d["d_scaling"]
+        d = mlp_deform_forward(deform, gs.xyz, frame.fid, gs.motion_mask)
+        d_xyz, d_rot, d_scale = w * d["d_xyz"], w * d["d_rotation"], w * d["d_scaling"]
         out = render(
             frame.cam,
             gs,
@@ -79,11 +79,16 @@ def mlp_deform_step(
         state.stats, gm2b, out["radii"], out["visibility_filter"],
         frame.cam.width, frame.cam.height,
     )
+    # freeze the deform net during warmup (traced select — even Adam's moment
+    # decay must not run, matching the old static-args freeze exactly)
+    def keep_old(old, new):
+        return jax.tree.map(lambda a, b: jnp.where(jnp.bool_(warm), a, b), old, new)
+
     new_state = MlpDeformState(
         gs=state.gs.replace_params(new_gs_p),
-        deform=state.deform.replace_params(new_d_p) if not warm else state.deform,
+        deform=keep_old(state.deform, state.deform.replace_params(new_d_p)),
         opt_gs=opt_gs,
-        opt_deform=opt_d if not warm else state.opt_deform,
+        opt_deform=keep_old(state.opt_deform, opt_d),
         stats=stats,
     )
     metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}

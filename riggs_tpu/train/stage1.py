@@ -156,7 +156,7 @@ def _to_device_lrs(d):
 
 @partial(
     jax.jit,
-    static_argnames=("detach_dxyz", "use_chamfer", "use_reg", "lambda_dssim", "max_per_tile"),
+    static_argnames=("lambda_dssim", "max_per_tile"),
 )
 def phase_a_step(
     state: Stage1State,
@@ -167,14 +167,24 @@ def phase_a_step(
     key: jax.Array,
     time_interval: float,
     lambda_chamfer: float = 1e-3,
-    detach_dxyz: bool = False,
-    use_chamfer: bool = False,
-    use_reg: bool = True,
+    detach_dxyz: bool | jax.Array = False,
+    use_chamfer: bool | jax.Array = False,
+    use_reg: bool | jax.Array = True,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 256,
 ):
+    """The detach/chamfer/reg toggles are TRACED 0/1 weights, not static
+    args: the whole phase-A schedule (warmup detach, chamfer after node
+    sampling, reg after warmup) runs in ONE compiled program. Weight-form is
+    exact: ``w*x + (1-w)*stop_grad(x)`` equals stop_gradient at w=0 and
+    identity at w=1, and a 0-weighted loss term contributes zero gradient.
+    On the axon chip each avoided jit variant saves minutes of remote
+    compile."""
     m2b = jnp.zeros_like(state.node_gs.xyz[:, :2])
     kr1, kr2, kr3 = jax.random.split(key, 3)
+    w_grad = 1.0 - jnp.float32(detach_dxyz)
+    w_ch = jnp.float32(use_chamfer)
+    w_reg = jnp.float32(use_reg)
 
     def loss_fn(params, mean2d_bias):
         node_gs = state.node_gs.replace_params(params["node_gs"])
@@ -182,8 +192,7 @@ def phase_a_step(
         t = jnp.broadcast_to(frame.fid, (node_gs.capacity, 1))
         d = apply_deform_network(warp.mlp, warp.net, jax.lax.stop_gradient(node_gs.xyz), t)
         d_xyz = d["d_xyz"] * node_gs.motion_mask
-        if detach_dxyz:
-            d_xyz = jax.lax.stop_gradient(d_xyz)
+        d_xyz = w_grad * d_xyz + (1.0 - w_grad) * jax.lax.stop_gradient(d_xyz)
         out = render(
             frame.cam,
             node_gs,
@@ -195,17 +204,17 @@ def phase_a_step(
         )
         loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
         aux = {"img_loss": loss}
-        if use_chamfer and frame.thinned is not None:
+        if frame.thinned is not None:
             proj = project_nodes_2d(frame.cam, node_gs.xyz + d_xyz)
             cd = chamfer_distance(
                 proj, frame.thinned, x_mask=node_gs.alive, y_mask=frame.thinned_mask, norm=1
             )
-            loss = loss + lambda_chamfer * cd
+            loss = loss + lambda_chamfer * w_ch * cd
             aux["chamfer"] = cd
-        if use_reg:
-            loss = loss + 1e-3 * NW.elastic_loss(warp, kr1, t=frame.fid, delta_t=time_interval)
-            loss = loss + 1e-5 * NW.acc_loss(warp, kr2, t=frame.fid, delta_t=3 * time_interval)
-            loss = loss + 1e-2 * NW.arap_loss(warp, kr3)
+        reg = 1e-3 * NW.elastic_loss(warp, kr1, t=frame.fid, delta_t=time_interval)
+        reg = reg + 1e-5 * NW.acc_loss(warp, kr2, t=frame.fid, delta_t=3 * time_interval)
+        reg = reg + 1e-2 * NW.arap_loss(warp, kr3)
+        loss = loss + w_reg * reg
         return loss, (out, aux)
 
     params = {"node_gs": state.node_gs.params_dict(), "warp": state.warp.params_dict()}
@@ -412,9 +421,9 @@ def stage1_frame_loss(
     lambda_motion: jax.Array,
     lambda_flow: jax.Array | float = 0.0,
     lambda_chamfer: float = 1e-3,
-    warm: bool = False,
-    active_sh: int = 0,
-    use_chamfer: bool = False,
+    warm: bool | jax.Array = False,
+    active_sh: int | jax.Array = 0,
+    use_chamfer: bool | jax.Array = False,
     use_motion_loss: bool = False,
     use_flow_loss: bool = False,
     lambda_dssim: float = 0.2,
@@ -423,7 +432,13 @@ def stage1_frame_loss(
 ):
     """Stage-1 phase-B per-frame loss (train_gui.py:1025-1145 semantics) —
     shared by the single-chip ``phase_b_step`` and the frame-parallel
-    ``parallel.train.make_dp_stage1_step``."""
+    ``parallel.train.make_dp_stage1_step``.
+
+    ``warm``, ``active_sh`` and ``use_chamfer`` are traced (0/1 weight /
+    banded-SH forms, numerically exact) so the warmup boundary, the SH
+    warmup schedule and the chamfer unlock reuse ONE compiled step.
+    ``use_flow_loss`` / ``use_motion_loss`` stay static: each gates a whole
+    second render pass worth avoiding when off for the entire run."""
     gs = state.gs.replace_params(params["gs"])
     warp = state.warp.replace_params(params["warp"])
     d = NW.warp_forward(
@@ -435,9 +450,9 @@ def stage1_frame_loss(
         local_frame=warp.net.local_frame,
     )
     d_xyz, d_rot = d["d_xyz"], d["d_rotation"]
-    if warm:
-        d_xyz = jax.lax.stop_gradient(d_xyz)
-        d_rot = jax.lax.stop_gradient(d_rot)
+    w_grad = 1.0 - jnp.float32(warm)
+    d_xyz = w_grad * d_xyz + (1.0 - w_grad) * jax.lax.stop_gradient(d_xyz)
+    d_rot = w_grad * d_rot + (1.0 - w_grad) * jax.lax.stop_gradient(d_rot)
     d_scaling = jnp.zeros_like(d["d_scaling"])  # train_gui.py:1053 zeroes it
     if isotropic:
         d_rot = jnp.zeros_like(d_rot)
@@ -506,10 +521,10 @@ def stage1_frame_loss(
             max_per_tile=max_per_tile,
         )
         loss = loss + lambda_motion * L.l1_loss(mout["render"][..., 0], frame.alpha_mask)
-    if use_chamfer and frame.thinned is not None:
+    if frame.thinned is not None:
         proj = project_nodes_2d(frame.cam, d["d_nodes"])
         cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
-        loss = loss + lambda_chamfer * cd
+        loss = loss + lambda_chamfer * jnp.float32(use_chamfer) * cd
         aux["chamfer"] = cd
     return loss, (out, aux)
 
@@ -517,9 +532,6 @@ def stage1_frame_loss(
 @partial(
     jax.jit,
     static_argnames=(
-        "warm",
-        "active_sh",
-        "use_chamfer",
         "use_motion_loss",
         "use_flow_loss",
         "lambda_dssim",
@@ -698,17 +710,27 @@ def train_stage1(
             o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
         )
         lam_flow = S.landmark_interpolate(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
-        if flow_store is not None and it >= o.warm_up and lam_flow > 0:
-            sampled = flow_store.sample(fidx, rng, frame.cam.height, frame.cam.width)
+        # flow scenes keep ONE jit signature: the frame always carries flow
+        # arrays (zeros when this step draws no partner) and the loss is
+        # gated by the traced lam_flow / flow_mask, not by pytree structure
+        has_flow = False
+        if flow_store is not None:
+            sampled = None
+            if it >= o.warm_up and lam_flow > 0:
+                sampled = flow_store.sample(fidx, rng, frame.cam.height, frame.cam.width)
             if sampled is not None:
                 fl, fm, pfid = sampled
-                frame = dataclasses.replace(
-                    frame,
-                    flow=jnp.asarray(fl),
-                    flow_mask=jnp.asarray(fm),
-                    flow_partner_fid=jnp.asarray(pfid),
-                )
-        has_flow = frame.flow is not None and it >= o.warm_up and lam_flow > 0
+                has_flow = True
+            else:
+                fl = np.zeros((frame.cam.height, frame.cam.width, 2), np.float32)
+                fm = np.zeros((frame.cam.height, frame.cam.width), np.float32)
+                pfid = float(frame.fid)
+            frame = dataclasses.replace(
+                frame,
+                flow=jnp.asarray(fl),
+                flow_mask=jnp.asarray(fm),
+                flow_partner_fid=jnp.asarray(pfid, jnp.float32),
+            )
         state, metrics = phase_b_step(
             state,
             frame,
@@ -718,13 +740,14 @@ def train_stage1(
             sk,
             jnp.asarray(lam_arap, jnp.float32),
             jnp.asarray(lam_motion, jnp.float32),
-            lambda_flow=jnp.asarray(lam_flow, jnp.float32),
+            lambda_flow=jnp.asarray(lam_flow if has_flow else 0.0, jnp.float32),
             lambda_chamfer=o.lambda_deformed_node_prjection,
             warm=it < o.warm_up,
             active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
             use_chamfer=frames[0].thinned is not None,
-            use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and lam_motion > 0,
-            use_flow_loss=has_flow,
+            use_motion_loss=o.gt_alpha_mask_as_dynamic_mask
+            and frames[0].alpha_mask is not None,
+            use_flow_loss=flow_store is not None,
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,

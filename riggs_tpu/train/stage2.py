@@ -195,16 +195,22 @@ def stage2_frame_loss(
     lambda_template_fixed: jax.Array,
     lambda_chamfer: float = 1e-3,
     lambda_rendering: float = 1.0,
-    warm: bool = False,
-    active_sh: int = 0,
-    enable_to: bool = False,
-    enable_sm: bool = False,
-    use_chamfer: bool = True,
+    warm: bool | jax.Array = False,
+    active_sh: int | jax.Array = 0,
+    enable_to: bool | jax.Array = False,
+    enable_sm: bool | jax.Array = False,
+    use_chamfer: bool | jax.Array = True,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
 ):
     """Full per-frame stage-2 loss (render_and_cal_loss, train_rig.py:416-515).
+
+    warm / active_sh / enable_to / enable_sm / use_chamfer are traced (0/1
+    weight or banded-SH form, numerically exact): the warmup boundary, the SH
+    warmup and the iteration-15000 staged unlock all reuse ONE compiled
+    training step instead of recompiling it (minutes each on the axon
+    remote-compile path).
 
     Shared verbatim by the single-chip ``stage2_step`` and the frame-parallel
     ``parallel.train.make_dp_stage2_step`` so the sharded step trains the real
@@ -227,18 +233,20 @@ def stage2_frame_loss(
         d_rot = jnp.zeros_like(d_rot)
     loss = jnp.zeros(())
     aux = {}
-    if enable_to:
+    if state.skel.net.use_template_offsets:
+        # w_to=0 makes template_offsets exactly zero, so the loss term
+        # vanishes with it — no separate gate needed
         to_loss = jnp.mean(d["template_offsets"] ** 2)
         loss = loss + lambda_template_offsets * to_loss
         aux["template_offsets_loss"] = to_loss
-    if use_chamfer and frame.thinned is not None:
+    if frame.thinned is not None:
         pts = sample_skeleton_points(d["d_nodes"], state.skel.net.parents)
         proj = project_nodes_2d(frame.cam, pts)
         cd = chamfer_distance(proj, frame.thinned, y_mask=frame.thinned_mask, norm=1)
         # robust per-frame weight from the running loss buffer
         sigma = jnp.median(state.proj_loss) / 2.0
         w = jnp.exp(-state.proj_loss[uid] ** 2 / (2.0 * sigma**2))
-        loss = loss + lambda_chamfer * w * cd
+        loss = loss + lambda_chamfer * jnp.float32(use_chamfer) * w * cd
         aux["chamfer"] = cd
     # template-fixed pose loss (identity local rotation on the template frame)
     tf_loss = jnp.mean((d["local_rotation"] - jnp.asarray(SW.ROT_BIAS)) ** 2)
@@ -255,29 +263,22 @@ def stage2_frame_loss(
         mean2d_bias=mean2d_bias,
         max_per_tile=max_per_tile,
     )
-    if warm:
-        aux["d_xyz_loss"] = L.l2_loss(d_xyz, pre_d_xyz)
-        aux["d_node_loss"] = L.l2_loss(d["d_nodes"], pre_d_joints)
-        loss = loss + aux["d_xyz_loss"] + aux["d_node_loss"]
-    else:
-        img_loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
-        loss = loss + lambda_rendering * img_loss
-        aux["img_loss"] = img_loss
+    # warm is a traced 0/1 weight: warmup distills toward the precomputed
+    # node-warp deformation, the main phase trains photometric — one compiled
+    # program across the boundary (train_rig.py:416-515 semantics)
+    w_warm = jnp.float32(warm)
+    aux["d_xyz_loss"] = L.l2_loss(d_xyz, pre_d_xyz)
+    aux["d_node_loss"] = L.l2_loss(d["d_nodes"], pre_d_joints)
+    img_loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
+    aux["img_loss"] = img_loss
+    loss = loss + w_warm * (aux["d_xyz_loss"] + aux["d_node_loss"])
+    loss = loss + (1.0 - w_warm) * lambda_rendering * img_loss
     return loss, (out, aux, d)
 
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "warm",
-        "active_sh",
-        "enable_to",
-        "enable_sm",
-        "use_chamfer",
-        "lambda_dssim",
-        "max_per_tile",
-        "isotropic",
-    ),
+    static_argnames=("lambda_dssim", "max_per_tile", "isotropic"),
 )
 def stage2_step(
     state: Stage2State,
@@ -324,12 +325,14 @@ def stage2_step(
     (loss, (out, aux, d)), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
         params, m2b
     )
-    # skeleton always steps; gaussians only outside warmup (train_rig.py:517-533)
+    # skeleton always steps; gaussians only outside warmup (train_rig.py:517-533).
+    # warm is traced, so the gaussian freeze is a tree-wide select — Adam's
+    # moment decay must not run on frozen params either.
     new_skel_p, opt_skel = O.adam_update(gp["skel"], state.opt_skel, params["skel"], lrs_skel)
-    if warm:
-        new_gs_p, opt_gs = params["gs"], state.opt_gs
-    else:
-        new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+    upd_gs_p, upd_opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+    w = jnp.bool_(warm)
+    new_gs_p = jax.tree.map(lambda a, b: jnp.where(w, a, b), params["gs"], upd_gs_p)
+    opt_gs = jax.tree.map(lambda a, b: jnp.where(w, a, b), state.opt_gs, upd_opt_gs)
     stats = G.add_densification_stats(
         state.stats_gs, gm2b, out["radii"], out["visibility_filter"],
         frame.cam.width, frame.cam.height,

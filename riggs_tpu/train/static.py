@@ -57,14 +57,14 @@ def make_lr_schedules(cfg: Config, spatial_lr_scale: float = 1.0):
     }
 
 
-@partial(jax.jit, static_argnames=("active_sh", "lambda_dssim", "rasterizer", "max_per_tile"))
+@partial(jax.jit, static_argnames=("lambda_dssim", "rasterizer", "max_per_tile"))
 def train_step(
     state: TrainState,
     cam: Camera,
     gt_image: jax.Array,
     bg: jax.Array,
     lrs: dict,
-    active_sh: int = 0,
+    active_sh: int | jax.Array = 0,  # traced: SH warmup reuses one program
     lambda_dssim: float = 0.2,
     rasterizer: str = "tiled",
     max_per_tile: int = 1024,
