@@ -31,12 +31,28 @@ def stack_frames(frames: list[Frame]) -> Frame:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
 
 
+def stage2_flags(warm=False, active_sh=0, enable_to=True, enable_sm=True) -> dict:
+    """Traced schedule-flag pytree for the dp stage-2 step: the values are
+    step ARGUMENTS (0/1 weights + banded-SH degree), so warmup, staged unlock
+    and SH bumps reuse one compiled step (see train.stage2.stage2_frame_loss)."""
+    return dict(
+        warm=jnp.asarray(warm, jnp.bool_),
+        active_sh=jnp.asarray(active_sh, jnp.int32),
+        enable_to=jnp.asarray(enable_to, jnp.bool_),
+        enable_sm=jnp.asarray(enable_sm, jnp.bool_),
+    )
+
+
+def stage1_flags(warm=False, active_sh=0) -> dict:
+    """Traced schedule-flag pytree for the dp stage-1 phase-B step."""
+    return dict(
+        warm=jnp.asarray(warm, jnp.bool_),
+        active_sh=jnp.asarray(active_sh, jnp.int32),
+    )
+
+
 def make_dp_stage2_step(
     mesh: Mesh,
-    warm: bool = False,
-    active_sh: int = 0,
-    enable_to: bool = True,
-    enable_sm: bool = True,
     use_chamfer: bool = False,
     lambda_chamfer: float = 1e-3,
     lambda_rendering: float = 1.0,
@@ -66,16 +82,16 @@ def make_dp_stage2_step(
     batch_sh = NamedSharding(mesh, P("data"))
     from riggs_tpu.train.stage2 import stage2_frame_loss
 
-    def loss_fn(params, state, frame_batch, uids, bg, m2b, pre_dx, pre_dj, lam_to, lam_tf):
+    def loss_fn(params, state, frame_batch, uids, bg, m2b, pre_dx, pre_dj, lam_to, lam_tf, flags):
         def one(frame, uid, m2b_f, pdx, pdj, l_to, l_tf):
             loss, (out, aux, _d) = stage2_frame_loss(
                 params, state, frame, uid, bg, m2b_f, pdx, pdj, l_to, l_tf,
                 lambda_chamfer=lambda_chamfer,
                 lambda_rendering=lambda_rendering,
-                warm=warm,
-                active_sh=active_sh,
-                enable_to=enable_to,
-                enable_sm=enable_sm,
+                warm=flags["warm"],
+                active_sh=flags["active_sh"],
+                enable_to=flags["enable_to"],
+                enable_sm=flags["enable_sm"],
                 use_chamfer=use_chamfer,
                 lambda_dssim=lambda_dssim,
                 max_per_tile=max_per_tile,
@@ -96,6 +112,7 @@ def make_dp_stage2_step(
         jax.jit,
         in_shardings=(
             repl, batch_sh, batch_sh, repl, repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
+            repl,
         ),
         out_shardings=(repl, repl),
     )
@@ -110,19 +127,20 @@ def make_dp_stage2_step(
         pre_d_joints_b: jax.Array,
         lambda_to: jax.Array,  # (B,) per-frame (template-frame 1e3 boost)
         lambda_tf: jax.Array,  # (B,) per-frame (template frame only)
+        flags: dict,
     ):
         B = uids.shape[0]
         params = {"gs": state.gs.params_dict(), "skel": state.skel.params_dict()}
         m2b = jnp.zeros((B,) + state.gs.xyz[:, :2].shape)
         (loss, pf), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 5), has_aux=True)(
             params, state, frame_batch, uids, bg, m2b, pre_d_xyz_b, pre_d_joints_b,
-            lambda_to, lambda_tf,
+            lambda_to, lambda_tf, flags,
         )
         new_skel_p, opt_skel = O.adam_update(gp["skel"], state.opt_skel, params["skel"], lrs_skel)
-        if warm:
-            new_gs_p, opt_gs = params["gs"], state.opt_gs
-        else:
-            new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+        upd_gs_p, upd_opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
+        w = jnp.bool_(flags["warm"])
+        new_gs_p = jax.tree.map(lambda a, b: jnp.where(w, a, b), params["gs"], upd_gs_p)
+        opt_gs = jax.tree.map(lambda a, b: jnp.where(w, a, b), state.opt_gs, upd_opt_gs)
         # densification stats: accumulate every frame of the batch (B reference
         # iterations worth); d(mean)/dm2b[b] carries a 1/B factor — undo it
         stats = state.stats_gs
@@ -154,8 +172,6 @@ def make_dp_stage2_step(
 
 def make_dp_stage1_step(
     mesh: Mesh,
-    warm: bool = False,
-    active_sh: int = 0,
     use_chamfer: bool = False,
     use_motion_loss: bool = False,
     lambda_chamfer: float = 1e-3,
@@ -185,13 +201,13 @@ def make_dp_stage1_step(
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion):
+    def loss_fn(params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion, flags):
         def one(frame, m2b_f, key):
             loss, (out, aux) = stage1_frame_loss(
                 params, state, frame, bg, m2b_f, key, lambda_arap, lambda_motion,
                 lambda_chamfer=lambda_chamfer,
-                warm=warm,
-                active_sh=active_sh,
+                warm=flags["warm"],
+                active_sh=flags["active_sh"],
                 use_chamfer=use_chamfer,
                 use_motion_loss=use_motion_loss,
                 lambda_dssim=lambda_dssim,
@@ -210,7 +226,7 @@ def make_dp_stage1_step(
 
     @partial(
         jax.jit,
-        in_shardings=(repl, batch_sh, repl, repl, repl, batch_sh, repl, repl),
+        in_shardings=(repl, batch_sh, repl, repl, repl, batch_sh, repl, repl, repl),
         out_shardings=(repl, repl),
     )
     def step(
@@ -222,12 +238,13 @@ def make_dp_stage1_step(
         keys: jax.Array,  # (B, 2) ARAP subsampling keys
         lambda_arap: jax.Array,
         lambda_motion: jax.Array,
+        flags: dict,
     ):
         B = keys.shape[0]
         params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
         m2b = jnp.zeros((B,) + state.gs.xyz[:, :2].shape)
         (loss, pf), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 4), has_aux=True)(
-            params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion
+            params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion, flags
         )
         new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
         new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)

@@ -42,6 +42,11 @@ def main():
         help="speak the SIBR network_gui protocol on this port (reference train_gui "
         "--ip/--port; each new viewer resolution costs one jit compile)",
     )
+    ap.add_argument(
+        "--dp", type=int, default=0,
+        help="frame-parallel stage-2 over a data mesh of this many devices "
+        "(riggs_tpu.parallel.stage2_dp; B frames/step, mean grad psummed over ICI)",
+    )
     ap.add_argument("--test_every", type=int, default=1000)
     ap.add_argument("--tensorboard", action="store_true")
     ap.add_argument("--resume", action="store_true", help="continue stage 2 from the latest checkpoint")
@@ -139,17 +144,32 @@ def main():
             from riggs_tpu.train.logging import TrainLogger
 
             logger = TrainLogger(model_path / "tb")
-        s2, info, hist2 = train_stage2(
-            s1,
-            scene,
-            cfg,
-            log_every=500,
-            step_callback=s2_cb if (args.viewer_port or args.gui_port) else None,
-            test_every=args.test_every,
-            model_path=model_path / "rig",
-            logger=logger,
-            resume=args.resume,
-        )
+        if args.dp > 1:
+            from riggs_tpu.parallel.mesh import make_mesh
+            from riggs_tpu.parallel.stage2_dp import train_stage2_dp
+
+            s2, info, hist2 = train_stage2_dp(
+                s1,
+                scene,
+                cfg,
+                make_mesh(data=args.dp, tile=1),
+                log_every=500,
+                test_every=args.test_every,
+                model_path=model_path / "rig",
+                step_callback=s2_cb if (args.viewer_port or args.gui_port) else None,
+            )
+        else:
+            s2, info, hist2 = train_stage2(
+                s1,
+                scene,
+                cfg,
+                log_every=500,
+                step_callback=s2_cb if (args.viewer_port or args.gui_port) else None,
+                test_every=args.test_every,
+                model_path=model_path / "rig",
+                logger=logger,
+                resume=args.resume,
+            )
         print(f"stage 2 done in {time.time() - t0:.0f}s")
         save_skeleton_tree(model_path, info.joints, info.parents, info.joint_node_indices, info.template_idx)
         write_skeleton_obj(model_path / "skeleton.obj", info.joints, info.parents)

@@ -40,7 +40,7 @@ def main():
 
     import __graft_entry__ as g
     from riggs_tpu.parallel.multihost import make_host_mesh
-    from riggs_tpu.parallel.train import make_dp_stage2_step, stack_frames
+    from riggs_tpu.parallel.train import make_dp_stage2_step, stack_frames, stage2_flags
     from riggs_tpu.parallel.mesh import shard_batch
 
     ndev = len(jax.devices())
@@ -51,13 +51,13 @@ def main():
     base = None
     for n in sizes:
         mesh = make_host_mesh(data_per_host=n, tile=1, devices=jax.devices()[:n])
-        step = make_dp_stage2_step(mesh, active_sh=1, max_per_tile=128, use_chamfer=True,
-                                   enable_to=True, enable_sm=True)
+        step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True)
         B = n  # one frame per device: fixed per-device work, ideal = flat time
         batch = shard_batch(stack_frames(scene.train_frames[:B]), mesh)
         a = (state, batch, jnp.arange(B, dtype=jnp.int32), jnp.zeros(3), lrs_gs,
              jnp.asarray(1e-4, jnp.float32), jnp.zeros((B, state.gs.capacity, 3)),
-             jnp.zeros((B, J, 3)), jnp.full((B,), 1e-2, jnp.float32), jnp.zeros((B,)))
+             jnp.zeros((B, J, 3)), jnp.full((B,), 1e-2, jnp.float32), jnp.zeros((B,)),
+             stage2_flags(active_sh=1))
         out = step(*a)
         jax.block_until_ready(out)
         t0 = time.perf_counter()

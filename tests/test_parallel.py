@@ -12,6 +12,8 @@ from riggs_tpu.parallel.train import (
     make_dp_stage2_step,
     make_dp_static_step,
     stack_frames,
+    stage1_flags,
+    stage2_flags,
 )
 
 
@@ -87,15 +89,14 @@ class TestMesh:
 
         scene, state2 = g._build_tiny_scene(width=64, height=64, n_train=8)
         mesh = make_mesh(data=4, tile=2)
-        step = make_dp_stage2_step(
-            mesh, active_sh=1, max_per_tile=128, use_chamfer=True, enable_to=True, enable_sm=True
-        )
+        step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True)
         B = 4
         batch = shard_batch(stack_frames(scene.train_frames[:B]), mesh)
         i = self._stage2_inputs(state2, B, state2.gs.capacity)
         new_state, m = step(
             state2, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
             i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+            stage2_flags(active_sh=1),
         )
         assert np.isfinite(float(m["loss"]))
         # the full loss set ran: chamfer buffer was refreshed for the batch uids
@@ -115,15 +116,14 @@ class TestMesh:
 
         scene, state = g._build_tiny_scene(width=64, height=64, n_train=2)
         mesh = make_mesh(data=1, tile=1)
-        step = make_dp_stage2_step(
-            mesh, active_sh=1, max_per_tile=128, use_chamfer=True, enable_to=True, enable_sm=True
-        )
+        step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True)
         frame = scene.train_frames[0]
         i = self._stage2_inputs(state, 1, state.gs.capacity)
         batch = stack_frames([frame])
         dp_state, dp_m = step(
             state, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
             i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+            stage2_flags(active_sh=1),
         )
         ref_state, ref_m = stage2_step(
             state, frame, jnp.asarray(0, jnp.int32), i["bg"], i["lrs_gs"], i["lrs_skel"],
@@ -153,14 +153,12 @@ class TestMesh:
         results = []
         for ndev in (1, 8):
             mesh = make_mesh(data=ndev, tile=1)
-            step = make_dp_stage2_step(
-                mesh, active_sh=1, max_per_tile=128, use_chamfer=True,
-                enable_to=True, enable_sm=True,
-            )
+            step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True)
             batch = shard_batch(frames, mesh)
             new_state, m = step(
                 state, batch, i["uids"], i["bg"], i["lrs_gs"], i["lrs_skel"],
                 i["pre_dx"], i["pre_dj"], i["lam_to"], i["lam_tf"],
+                stage2_flags(active_sh=1),
             )
             results.append((new_state, float(m["loss"])))
         (s1, l1), (s8, l8) = results
@@ -202,12 +200,12 @@ class TestDpStage1:
 
         scene, state = self._stage1_fixture(n_train=2)
         mesh = make_mesh(data=1, tile=1)
-        step = make_dp_stage1_step(mesh, active_sh=1, max_per_tile=128, use_chamfer=True)
+        step = make_dp_stage1_step(mesh, max_per_tile=128, use_chamfer=True)
         frame = scene.train_frames[0]
         i = self._stage1_inputs(state, 1)
         dp_state, dp_m = step(
             state, stack_frames([frame]), i["bg"], i["lrs_gs"], i["lrs_warp"],
-            i["keys"], i["lambda_arap"], i["lambda_motion"],
+            i["keys"], i["lambda_arap"], i["lambda_motion"], stage1_flags(active_sh=1),
         )
         ref_state, ref_m = phase_b_step(
             state, frame, i["bg"], i["lrs_gs"], i["lrs_warp"], i["keys"][0],
@@ -230,11 +228,11 @@ class TestDpStage1:
         results = []
         for ndev in (1, 8):
             mesh = make_mesh(data=ndev, tile=1)
-            step = make_dp_stage1_step(mesh, active_sh=1, max_per_tile=128, use_chamfer=True)
+            step = make_dp_stage1_step(mesh, max_per_tile=128, use_chamfer=True)
             batch = shard_batch(frames, mesh)
             new_state, m = step(
                 state, batch, i["bg"], i["lrs_gs"], i["lrs_warp"],
-                i["keys"], i["lambda_arap"], i["lambda_motion"],
+                i["keys"], i["lambda_arap"], i["lambda_motion"], stage1_flags(active_sh=1),
             )
             results.append((new_state, float(m["loss"])))
         (s1, l1), (s8, l8) = results
@@ -288,3 +286,55 @@ class TestMultihost:
 
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         assert multihost.init_distributed() is False
+
+
+class TestDpStage2Trainer:
+    @pytest.mark.slow
+    def test_train_stage2_dp_improves(self):
+        """Full frame-parallel stage-2 training loop on the 8-device mesh:
+        warmup -> unlock -> main phase in ONE compiled step (traced flags),
+        held-out PSNR must rise."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        from riggs_tpu.parallel.stage2_dp import train_stage2_dp
+        from riggs_tpu.train.config import Config
+        from riggs_tpu.train.stage2 import PretrainInfo, evaluate_stage2
+
+        scene, state = g._build_tiny_scene(width=64, height=64, n_train=8)
+        F = len(scene.train_frames)
+        C = state.gs.capacity
+        J = state.skel.joints.shape[0]
+        info = PretrainInfo(
+            d_xyz=np.zeros((F, C, 3), np.float32),
+            d_joints=np.tile(np.asarray(state.skel.joints)[None], (F, 1, 1)),
+            template_idx=0,
+            joints=np.asarray(state.skel.joints),
+            parents=np.asarray([0, 0, 1]),
+            joint_node_indices=np.arange(J),
+        )
+        cfg = Config()
+        cfg.model.capacity = C
+        cfg.model.sh_degree = 1
+        cfg.pipe.max_per_tile = 128
+        o = cfg.opt
+        o.iterations = 96
+        o.skeleton_warm_up = 16
+        o.optimize_template_offsets_iters = 32
+        o.oneupSHdegree_step = 40
+        o.densify_from_iter = 10_000_000  # keep capacity static for the test
+        o.gs_densification_iterations = 10_000_000
+
+        mesh = make_mesh(data=8, tile=1)
+        bg = jnp.zeros(3)
+        before = evaluate_stage2(state, scene.test_frames, bg)
+        new_state, _, hist = train_stage2_dp(
+            None, scene, cfg, mesh, log_every=16, init=(state, info, scene.train_frames)
+        )
+        after = evaluate_stage2(new_state, scene.test_frames, bg)
+        assert np.isfinite(after["psnr"])
+        assert after["psnr"] > before["psnr"] + 0.5, (before, after)
+        # one compiled step across warm/unlock/SH boundaries: the loop ran
+        # (warm + main + unlocked) without error and produced history
+        assert len(hist) >= 3
