@@ -1,0 +1,151 @@
+"""Frame-parallel stage-1 TRAINING LOOP over a device mesh.
+
+Phase A (node-as-gaussians bootstrap, train_gui.py:864-1010) is short and
+densify-heavy, so it runs single-chip via ``train.stage1.train_stage1``
+(with phase B suppressed). Phase B — the long full-deformable phase
+(train_gui.py:1025-1200) — then runs frame-parallel: each step shards
+B = |mesh 'data' axis| frames over devices with replicated state
+(``make_dp_stage1_step``), advancing the reference iteration counter by B
+per step so landmark schedules, densification cadence and opacity resets
+land at the same sample counts as the single-chip trainer. Schedule flags
+(warm, active SH) cross their boundaries as traced step arguments — one
+compiled step for the whole phase.
+
+The optical-flow loss is not carried by the dp step (partner frames are
+drawn host-side per step; see make_dp_stage1_step) — use the single-chip
+trainer for flow-supervised runs.
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from riggs_tpu.data.dataset import SceneData
+from riggs_tpu.models import gaussians as G
+from riggs_tpu.parallel.mesh import shard_batch
+from riggs_tpu.parallel.train import make_dp_stage1_step, stack_frames, stage1_flags
+from riggs_tpu.train import optim as O
+from riggs_tpu.train import schedule as S
+from riggs_tpu.train.config import Config
+from riggs_tpu.models import node_warp as NW
+
+
+def train_stage1_dp(
+    scene: SceneData,
+    cfg: Config,
+    mesh: Mesh,
+    seed: int = 0,
+    log_every: int = 0,
+    step_callback=None,
+    init=None,
+):
+    from riggs_tpu.train.stage1 import (
+        Stage1TrainView,
+        node_densify_prune,
+        stage1_lr_fns,
+        train_stage1,
+    )
+    from riggs_tpu.train.static import densify_step as gs_densify_step
+
+    o = cfg.opt
+    B = mesh.shape["data"]
+    key = jax.random.PRNGKey(seed)
+    bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
+    rng = np.random.default_rng(seed)
+    frames = scene.train_frames
+
+    if init is not None:
+        state = init  # phase-A-complete state (tests / resume)
+    else:
+        # phase A single-chip: suppress phase B by zeroing its budget
+        cfg_a = copy.deepcopy(cfg)
+        cfg_a.opt.iterations = 0
+        state, _ = train_stage1(scene, cfg_a, seed=seed, log_every=log_every)
+
+    gauss_lrs, warp_lrs = stage1_lr_fns(cfg)
+    step = make_dp_stage1_step(
+        mesh,
+        use_chamfer=frames[0].thinned is not None,
+        use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and frames[0].alpha_mask is not None,
+        lambda_chamfer=o.lambda_deformed_node_prjection,
+        lambda_dssim=o.lambda_dssim,
+        max_per_tile=cfg.pipe.max_per_tile,
+        isotropic=cfg.model.use_isotropic_gs,
+    )
+    from riggs_tpu.train.sampling import FrameSampler
+
+    sampler = FrameSampler(frames, rng)
+    history = []
+
+    def _dev_lrs(d):
+        return {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
+
+    for it in range(0, o.iterations, B):
+        uids = [
+            sampler.sample(
+                it + b, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps
+            )
+            for b in range(B)
+        ]
+        key, sk = jax.random.split(key)
+        lam_arap = S.landmark_interpolate(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
+        lam_motion = S.landmark_interpolate(
+            o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
+        )
+        batch = shard_batch(stack_frames([frames[u] for u in uids]), mesh)
+        state, metrics = step(
+            state,
+            batch,
+            bg,
+            _dev_lrs(gauss_lrs(it)),
+            _dev_lrs(warp_lrs(it)),
+            shard_batch(jax.random.split(sk, B), mesh),
+            jnp.asarray(lam_arap, jnp.float32),
+            jnp.asarray(lam_motion, jnp.float32),
+            stage1_flags(
+                warm=it < o.warm_up,
+                active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
+            ),
+        )
+        steps_done = it // B
+        node_dp = (
+            o.node_enable_densify_prune
+            and o.node_densify_from_iter < it < o.node_densify_until_iter
+            and steps_done % max(o.node_densification_interval // B, 1) == 0
+            and it > o.warm_up
+        ) or (it <= o.node_force_densify_prune_step < it + B)
+        if node_dp:
+            state = node_densify_prune(state, cfg, o.densify_grad_threshold)
+        if (
+            o.densify_from_iter < it < o.densify_until_iter
+            and steps_done % max(o.densification_interval // B, 1) == 0
+        ):
+            key, sk = jax.random.split(key)
+            st = gs_densify_step(
+                Stage1TrainView(state.gs, state.opt_gs, state.stats_gs),
+                sk,
+                o.densify_grad_threshold,
+                scene.cameras_extent,
+                percent_dense=o.percent_dense,
+            )
+            state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+        if it > 0 and steps_done % max(o.opacity_reset_interval // B, 1) == 0:
+            gs = G.reset_opacity(state.gs)
+            opt = O.AdamState(
+                mu=dict(state.opt_gs.mu, opacity=jnp.zeros_like(state.opt_gs.mu["opacity"])),
+                nu=dict(state.opt_gs.nu, opacity=jnp.zeros_like(state.opt_gs.nu["opacity"])),
+                count=state.opt_gs.count,
+            )
+            state = dataclasses.replace(state, gs=gs, opt_gs=opt)
+        if log_every and steps_done % max(log_every // B, 1) == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(("Bdp", it, m))
+            print(f"[S1dp {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f}")
+        if step_callback is not None:
+            step_callback(state, it)
+    return state, history

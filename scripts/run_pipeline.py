@@ -132,8 +132,17 @@ def main():
             sibr.poll(sibr_render)
 
     t0 = time.time()
-    s1, hist1 = train_stage1(scene, cfg, log_every=500,
-                             step_callback=s1_cb if (args.viewer_port or args.gui_port) else None)
+    if args.dp > 1:
+        from riggs_tpu.parallel.mesh import make_mesh
+        from riggs_tpu.parallel.stage1_dp import train_stage1_dp
+
+        s1, hist1 = train_stage1_dp(
+            scene, cfg, make_mesh(data=args.dp, tile=1), log_every=500,
+            step_callback=s1_cb if (args.viewer_port or args.gui_port) else None,
+        )
+    else:
+        s1, hist1 = train_stage1(scene, cfg, log_every=500,
+                                 step_callback=s1_cb if (args.viewer_port or args.gui_port) else None)
     print(f"stage 1 done in {time.time() - t0:.0f}s")
     save_checkpoint(model_path, cfg.opt.iterations, s1, gs=s1.gs, cfg=cfg)
 

@@ -338,3 +338,29 @@ class TestDpStage2Trainer:
         # one compiled step across warm/unlock/SH boundaries: the loop ran
         # (warm + main + unlocked) without error and produced history
         assert len(hist) >= 3
+
+
+class TestDpStage1Trainer:
+    @pytest.mark.slow
+    def test_train_stage1_dp_improves(self):
+        """Frame-parallel stage-1 phase-B loop on the 8-device mesh learns."""
+        from riggs_tpu.parallel.stage1_dp import train_stage1_dp
+        from tests.test_stage1 import tiny_config
+
+        scene, state = TestDpStage1._stage1_fixture(n_train=8)
+        cfg = tiny_config()
+        # B=8 mean-grad steps: 192 samples = 24 optimizer steps
+        cfg.opt.iterations = 192
+        cfg.opt.warm_up = 16
+        cfg.opt.oneupSHdegree_step = 40
+        cfg.opt.densify_from_iter = 24
+        cfg.opt.densify_until_iter = 150
+        cfg.opt.densification_interval = 48
+        mesh = make_mesh(data=8, tile=1)
+        new_state, hist = train_stage1_dp(
+            scene, cfg, mesh, log_every=16, init=state
+        )
+        psnrs = [h[2]["psnr"] for h in hist]
+        assert len(psnrs) >= 3
+        assert max(psnrs[1:]) > psnrs[0] + 1.0, psnrs
+        assert np.isfinite(psnrs).all()
