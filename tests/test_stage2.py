@@ -66,6 +66,14 @@ class TestStage2:
             errs_m.append(float(jnp.mean((d["d_xyz"] - info.d_xyz[u]) ** 2)))
             errs_0.append(float(jnp.mean(info.d_xyz[u] ** 2)))
         assert np.mean(errs_m) < np.mean(errs_0), (errs_m, errs_0)
-        # rendering quality improves during the main stage
-        assert main[-1][1]["psnr"] >= main[0][1]["psnr"] - 1.0
+        # rendering quality: held-out test PSNR of the trained rig must beat
+        # the freshly initialized stage-2 model by a real margin (per-step
+        # train psnr compares different random frames — noise)
+        from riggs_tpu.train.stage2 import evaluate_stage2
+
+        init_state, _, _ = init_stage2(jax.random.PRNGKey(0), s1, scene, cfg)
+        bg = jnp.zeros(3)
+        before = evaluate_stage2(init_state, scene.test_frames, bg)
+        after = evaluate_stage2(state, scene.test_frames, bg)
+        assert after["psnr"] > before["psnr"] + 0.5, (before, after)
         assert np.isfinite(main[-1][1]["loss"])
