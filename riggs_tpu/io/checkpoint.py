@@ -102,3 +102,55 @@ def load_checkpoint(model_path: str | Path, template: Any, iteration: int = -1) 
     if it is None:
         raise FileNotFoundError(f"no checkpoints under {base}")
     return load_state_npz(base / f"iteration_{it}" / "state.npz", template), it
+
+
+# ---------------------------------------------------------------------------
+# Sharded-aware checkpoints (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_sharded(model_path: str | Path, iteration: int, state: Any):
+    """Sharded-aware full-state checkpoint via orbax.
+
+    Unlike the host-gathered .npz path, each process writes only the shards
+    it owns — the multi-host form of SURVEY.md §5's "orbax-style checkpoint
+    of the full pytree incl. optimizer state". On a single host this is a
+    drop-in alternative; on a pod it avoids gathering the replicated state
+    through one host. Synchronous (waits for the write to land).
+    """
+    import orbax.checkpoint as ocp
+
+    path = (Path(model_path) / "orbax" / f"iteration_{iteration}").absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_checkpoint_sharded(
+    model_path: str | Path, template: Any, iteration: int = -1
+) -> tuple[Any, int]:
+    """Restore a sharded orbax checkpoint onto ``template``'s shardings.
+
+    Each leaf is restored with the sharding carried by the corresponding
+    template leaf (e.g. replicated over a fresh Mesh), so a pod restart can
+    re-shard directly from storage without a host-memory gather.
+    """
+    import orbax.checkpoint as ocp
+
+    base = Path(model_path) / "orbax"
+    it = search_max_iteration(base) if iteration == -1 else iteration
+    if it is None:
+        raise FileNotFoundError(f"no orbax checkpoints under {base}")
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            tuple(x.shape), x.dtype, sharding=getattr(x, "sharding", None)
+        )
+        if hasattr(x, "shape")
+        else x,
+        template,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore((base / f"iteration_{it}").absolute(), abstract)
+    ckptr.close()
+    return out, it
