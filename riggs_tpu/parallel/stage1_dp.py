@@ -11,9 +11,10 @@ land at the same sample counts as the single-chip trainer. Schedule flags
 (warm, active SH) cross their boundaries as traced step arguments — one
 compiled step for the whole phase.
 
-The optical-flow loss is not carried by the dp step (partner frames are
-drawn host-side per step; see make_dp_stage1_step) — use the single-chip
-trainer for flow-supervised runs.
+With ``source_path`` pointing at a scene with ``raft_neighbouring/`` flow
+files, each batch frame draws a flow partner host-side exactly like the
+single-chip trainer, and a per-frame lambda weights the flow term (zero for
+frames that drew none this step) — the dp step carries the full loss set.
 """
 from __future__ import annotations
 
@@ -43,6 +44,7 @@ def train_stage1_dp(
     log_every: int = 0,
     step_callback=None,
     init=None,
+    source_path=None,
 ):
     from riggs_tpu.train.stage1 import (
         Stage1TrainView,
@@ -67,11 +69,24 @@ def train_stage1_dp(
         cfg_a.opt.iterations = 0
         state, _ = train_stage1(scene, cfg_a, seed=seed, log_every=log_every)
 
+    # RAFT flow (raft_neighbouring/, scene/__init__.py:87-91): host-side
+    # per-frame partner sampling, identical to the single-chip trainer
+    flow_store = None
+    if source_path is not None and scene.train_image_names is not None:
+        from riggs_tpu.data.flow import FlowStore
+
+        fs = FlowStore(
+            source_path, scene.train_image_names, [float(f.fid) for f in frames]
+        )
+        if any(fs.has_flow(i) for i in range(len(frames))):
+            flow_store = fs
+
     gauss_lrs, warp_lrs = stage1_lr_fns(cfg)
     step = make_dp_stage1_step(
         mesh,
         use_chamfer=frames[0].thinned is not None,
         use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and frames[0].alpha_mask is not None,
+        use_flow_loss=flow_store is not None,
         lambda_chamfer=o.lambda_deformed_node_prjection,
         lambda_dssim=o.lambda_dssim,
         max_per_tile=cfg.pipe.max_per_tile,
@@ -97,7 +112,29 @@ def train_stage1_dp(
         lam_motion = S.landmark_interpolate(
             o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
         )
-        batch = shard_batch(stack_frames([frames[u] for u in uids]), mesh)
+        lam_flow = S.landmark_interpolate(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
+        batch_frames = [frames[u] for u in uids]
+        lam_flow_b = np.zeros(B, np.float32)
+        if flow_store is not None:
+            for b, u in enumerate(uids):
+                f = batch_frames[b]
+                sampled = None
+                if it >= o.warm_up and lam_flow > 0:
+                    sampled = flow_store.sample(u, rng, f.cam.height, f.cam.width)
+                if sampled is not None:
+                    fl, fm, pfid = sampled
+                    lam_flow_b[b] = lam_flow
+                else:
+                    fl = np.zeros((f.cam.height, f.cam.width, 2), np.float32)
+                    fm = np.zeros((f.cam.height, f.cam.width), np.float32)
+                    pfid = float(f.fid)
+                batch_frames[b] = dataclasses.replace(
+                    f,
+                    flow=jnp.asarray(fl),
+                    flow_mask=jnp.asarray(fm),
+                    flow_partner_fid=jnp.asarray(pfid, jnp.float32),
+                )
+        batch = shard_batch(stack_frames(batch_frames), mesh)
         state, metrics = step(
             state,
             batch,
@@ -107,6 +144,7 @@ def train_stage1_dp(
             shard_batch(jax.random.split(sk, B), mesh),
             jnp.asarray(lam_arap, jnp.float32),
             jnp.asarray(lam_motion, jnp.float32),
+            shard_batch(jnp.asarray(lam_flow_b, jnp.float32), mesh),
             stage1_flags(
                 warm=it < o.warm_up,
                 active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),

@@ -174,6 +174,7 @@ def make_dp_stage1_step(
     mesh: Mesh,
     use_chamfer: bool = False,
     use_motion_loss: bool = False,
+    use_flow_loss: bool = False,
     lambda_chamfer: float = 1e-3,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
@@ -191,25 +192,29 @@ def make_dp_stage1_step(
     and the per-frame lambdas shard over 'data'; state is replicated, so the
     mean over frames becomes a psum over ICI.
 
-    The optical-flow loss is intentionally absent here: flow partner frames
-    are drawn per-step on the host (train_stage1's flow_store) and the
-    sharded step would need a second full warp+render per frame; use the
-    single-chip step when ``use_flow_loss`` is on.
+    With ``use_flow_loss`` the batch frames carry RAFT flow arrays (zeros
+    when a frame drew no partner this step — structure is constant) and a
+    per-frame (B,) ``lambda_flow`` weights each frame's flow term, so a
+    batch can mix frames with and without real flow exactly like B
+    sequential single-chip steps.
     """
     from riggs_tpu.train.stage1 import Stage1State, stage1_frame_loss
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion, flags):
-        def one(frame, m2b_f, key):
+    def loss_fn(params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion,
+                lambda_flow_b, flags):
+        def one(frame, m2b_f, key, lam_flow):
             loss, (out, aux) = stage1_frame_loss(
                 params, state, frame, bg, m2b_f, key, lambda_arap, lambda_motion,
+                lambda_flow=lam_flow,
                 lambda_chamfer=lambda_chamfer,
                 warm=flags["warm"],
                 active_sh=flags["active_sh"],
                 use_chamfer=use_chamfer,
                 use_motion_loss=use_motion_loss,
+                use_flow_loss=use_flow_loss,
                 lambda_dssim=lambda_dssim,
                 max_per_tile=max_per_tile,
                 isotropic=isotropic,
@@ -221,12 +226,12 @@ def make_dp_stage1_step(
             }
             return loss, per_frame
 
-        losses, pf = jax.vmap(one)(frame_batch, m2b, keys)
+        losses, pf = jax.vmap(one)(frame_batch, m2b, keys, lambda_flow_b)
         return jnp.mean(losses), pf
 
     @partial(
         jax.jit,
-        in_shardings=(repl, batch_sh, repl, repl, repl, batch_sh, repl, repl, repl),
+        in_shardings=(repl, batch_sh, repl, repl, repl, batch_sh, repl, repl, batch_sh, repl),
         out_shardings=(repl, repl),
     )
     def step(
@@ -238,13 +243,15 @@ def make_dp_stage1_step(
         keys: jax.Array,  # (B, 2) ARAP subsampling keys
         lambda_arap: jax.Array,
         lambda_motion: jax.Array,
+        lambda_flow_b: jax.Array,  # (B,) per-frame flow weight (0 = no flow drawn)
         flags: dict,
     ):
         B = keys.shape[0]
         params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
         m2b = jnp.zeros((B,) + state.gs.xyz[:, :2].shape)
         (loss, pf), (gp, gm2b) = jax.value_and_grad(loss_fn, argnums=(0, 4), has_aux=True)(
-            params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion, flags
+            params, state, frame_batch, bg, m2b, keys, lambda_arap, lambda_motion,
+            lambda_flow_b, flags
         )
         new_gs_p, opt_gs = O.adam_update(gp["gs"], state.opt_gs, params["gs"], lrs_gs)
         new_warp_p, opt_warp = O.adam_update(gp["warp"], state.opt_warp, params["warp"], lrs_warp)

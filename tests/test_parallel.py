@@ -205,7 +205,8 @@ class TestDpStage1:
         i = self._stage1_inputs(state, 1)
         dp_state, dp_m = step(
             state, stack_frames([frame]), i["bg"], i["lrs_gs"], i["lrs_warp"],
-            i["keys"], i["lambda_arap"], i["lambda_motion"], stage1_flags(active_sh=1),
+            i["keys"], i["lambda_arap"], i["lambda_motion"],
+            jnp.zeros(1), stage1_flags(active_sh=1),
         )
         ref_state, ref_m = phase_b_step(
             state, frame, i["bg"], i["lrs_gs"], i["lrs_warp"], i["keys"][0],
@@ -232,7 +233,8 @@ class TestDpStage1:
             batch = shard_batch(frames, mesh)
             new_state, m = step(
                 state, batch, i["bg"], i["lrs_gs"], i["lrs_warp"],
-                i["keys"], i["lambda_arap"], i["lambda_motion"], stage1_flags(active_sh=1),
+                i["keys"], i["lambda_arap"], i["lambda_motion"],
+                shard_batch(jnp.zeros(8), mesh), stage1_flags(active_sh=1),
             )
             results.append((new_state, float(m["loss"])))
         (s1, l1), (s8, l8) = results
@@ -391,3 +393,47 @@ class TestShardedCheckpoint:
         for k in state:
             np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(state[k]))
             assert out[k].sharding == state[k].sharding
+
+
+class TestDpStage1Flow:
+    @pytest.mark.slow
+    def test_flow_term_active_per_frame(self):
+        """dp stage-1 with use_flow_loss: frames carry flow arrays and the
+        per-frame lambda gates the term — a batch mixing lambda 0 / >0 runs,
+        and turning the lambdas on changes the loss."""
+        import dataclasses as dc
+
+        import dataclasses as _dc
+
+        scene, state = TestDpStage1._stage1_fixture(n_train=2)
+        # near-opaque splats so the flow solidity gate (alpha > 0.9,
+        # train_gui.py:1093) passes somewhere and the term is exercised
+        state = _dc.replace(
+            state, gs=_dc.replace(state.gs, opacity=jnp.full_like(state.gs.opacity, 8.0))
+        )
+        B = 2
+        mesh = make_mesh(data=2, tile=1)
+        step = make_dp_stage1_step(mesh, max_per_tile=128, use_flow_loss=True)
+        fr = []
+        for f in scene.train_frames[:B]:
+            H, W = f.cam.height, f.cam.width
+            fr.append(
+                dc.replace(
+                    f,
+                    flow=jnp.ones((H, W, 2)) * 3.0,
+                    flow_mask=jnp.ones((H, W)),
+                    flow_partner_fid=jnp.asarray(0.9, jnp.float32),
+                )
+            )
+        batch = shard_batch(stack_frames(fr), mesh)
+        i = TestDpStage1._stage1_inputs(state, B)
+        losses = {}
+        for name, lam in (("off", jnp.zeros(B)), ("mixed", jnp.asarray([0.0, 2.0]))):
+            _, m = step(
+                state, batch, i["bg"], i["lrs_gs"], i["lrs_warp"],
+                i["keys"], i["lambda_arap"], i["lambda_motion"],
+                shard_batch(lam, mesh), stage1_flags(),
+            )
+            losses[name] = float(m["loss"])
+            assert np.isfinite(losses[name])
+        assert losses["mixed"] != losses["off"], losses
