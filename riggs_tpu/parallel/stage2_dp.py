@@ -92,6 +92,8 @@ def train_stage2_dp(
         lambda_dssim=o.lambda_dssim,
         max_per_tile=cfg.pipe.max_per_tile,
         isotropic=cfg.model.use_isotropic_gs,
+        # 2D mesh: also shard each frame's blend over the 'tile' axis
+        tile_parallel=mesh.shape.get("tile", 1) > 1,
     )
     from riggs_tpu.train.sampling import FrameSampler
 

@@ -59,6 +59,7 @@ def make_dp_stage2_step(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 256,
     isotropic: bool = False,
+    tile_parallel: bool = False,
 ):
     """Build a jitted frame-parallel stage-2 training step over ``mesh``.
 
@@ -96,6 +97,7 @@ def make_dp_stage2_step(
                 lambda_dssim=lambda_dssim,
                 max_per_tile=max_per_tile,
                 isotropic=isotropic,
+                tile_shard_mesh=mesh if tile_parallel else None,
             )
             per_frame = {
                 "radii": out["radii"],
@@ -105,7 +107,12 @@ def make_dp_stage2_step(
             }
             return loss, per_frame
 
-        losses, pf = jax.vmap(one)(frame_batch, uids, m2b, pre_dx, pre_dj, lam_to, lam_tf)
+        # 2D parallelism: with tile_parallel each frame's blend is ALSO
+        # shard_map'd over 'tile' (pixel axis) inside the data-sharded vmap —
+        # spmd_axis_name ties the batch dim to the mesh 'data' axis so the
+        # inner shard_map sees only its data-row's frames
+        vm = jax.vmap(one, spmd_axis_name="data") if tile_parallel else jax.vmap(one)
+        losses, pf = vm(frame_batch, uids, m2b, pre_dx, pre_dj, lam_to, lam_tf)
         return jnp.mean(losses), pf
 
     @partial(

@@ -58,6 +58,7 @@ def render(
     mid_cap: int | None = None,
     mid_side: int | None = None,
     tile_ladder: tuple | None = None,
+    tile_shard_mesh=None,
 ) -> dict[str, Any]:
     means3d = gs.xyz + d_xyz
     if scale_const is not None:
@@ -117,6 +118,8 @@ def render(
             kwargs["mid_side"] = mid_side
         if tile_ladder is not None:
             kwargs["tile_ladder"] = tile_ladder
+        if tile_shard_mesh is not None:
+            kwargs["tile_shard_mesh"] = tile_shard_mesh
     out = fn(
         cam,
         means3d,

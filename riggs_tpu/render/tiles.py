@@ -200,6 +200,7 @@ def rasterize_tiled(
     mid_cap: int = 0,
     mid_side: int = 4,
     tile_ladder: tuple | None = None,
+    tile_shard_mesh=None,
 ):
     """Fast-path render. Same contract as rasterize_oracle plus overflow count.
 
@@ -216,6 +217,9 @@ def rasterize_tiled(
     blend='pallas' runs the fused VMEM-resident Pallas blend kernel with its
     analytic backward; 'jnp' the XLA scan path; 'auto' picks pallas on TPU
     and jnp on CPU (interpret-mode pallas is test-only).
+    tile_shard_mesh: a Mesh with a 'tile' axis — the blend runs per-shard via
+    shard_map with the shard's global tile offset (pixel parallelism; composes
+    under a data-sharded vmap for 2D data x tile training steps).
     """
     if blend == "auto":
         blend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
@@ -371,7 +375,32 @@ def rasterize_tiled(
         gp = jnp.transpose(gp, (0, 2, 1))  # (T, 16, MAX)
         interpret = jax.devices()[0].platform == "cpu"
         counts = jnp.minimum(bins.count, max_per_tile).astype(jnp.int32)
-        out = pallas_blend(gp, counts, bins.tiles_x, interpret)  # (T, 8, P)
+        if tile_shard_mesh is not None:
+            from jax.sharding import PartitionSpec as _P
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            from riggs_tpu.render.pallas_blend import pallas_blend_offset
+
+            n_sh = tile_shard_mesh.shape["tile"]
+            T0 = gp.shape[0]
+            pad_t = (-T0) % n_sh
+            gp_s = jnp.pad(gp, ((0, pad_t), (0, 0), (0, 0))) if pad_t else gp
+            counts_s = jnp.pad(counts, (0, pad_t)) if pad_t else counts
+            per_shard = gp_s.shape[0] // n_sh
+
+            def _blend_shard(gp_l, counts_l):
+                offset = jax.lax.axis_index("tile") * per_shard
+                return pallas_blend_offset(gp_l, counts_l, offset, bins.tiles_x, interpret)
+
+            out = _shard_map(
+                _blend_shard,
+                mesh=tile_shard_mesh,
+                in_specs=(_P("tile"), _P("tile")),
+                out_specs=_P("tile"),
+                check_rep=False,
+            )(gp_s, counts_s)[:T0]
+        else:
+            out = pallas_blend(gp, counts, bins.tiles_x, interpret)  # (T, 8, P)
         rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))  # (T, P, 3)
         dep = out[:, 3, :]
         acc = out[:, 4, :]

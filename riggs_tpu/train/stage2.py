@@ -203,6 +203,7 @@ def stage2_frame_loss(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
+    tile_shard_mesh=None,
 ):
     """Full per-frame stage-2 loss (render_and_cal_loss, train_rig.py:416-515).
 
@@ -262,6 +263,7 @@ def stage2_frame_loss(
         active_sh_degree=active_sh,
         mean2d_bias=mean2d_bias,
         max_per_tile=max_per_tile,
+        tile_shard_mesh=tile_shard_mesh,
     )
     # warm is a traced 0/1 weight: warmup distills toward the precomputed
     # node-warp deformation, the main phase trains photometric — one compiled

@@ -44,8 +44,13 @@ def main():
     )
     ap.add_argument(
         "--dp", type=int, default=0,
-        help="frame-parallel stage-2 over a data mesh of this many devices "
-        "(riggs_tpu.parallel.stage2_dp; B frames/step, mean grad psummed over ICI)",
+        help="frame-parallel training over a data mesh of this many devices "
+        "(riggs_tpu.parallel.stage1_dp/stage2_dp; B frames/step, mean grad psummed over ICI)",
+    )
+    ap.add_argument(
+        "--dp_tile", type=int, default=1,
+        help="with --dp: also shard each frame's blend over a 'tile' mesh axis "
+        "of this size (2D data x tile parallelism; stage 2)",
     )
     ap.add_argument("--test_every", type=int, default=1000)
     ap.add_argument("--tensorboard", action="store_true")
@@ -161,7 +166,7 @@ def main():
                 s1,
                 scene,
                 cfg,
-                make_mesh(data=args.dp, tile=1),
+                make_mesh(data=args.dp, tile=args.dp_tile),
                 log_every=500,
                 test_every=args.test_every,
                 model_path=model_path / "rig",

@@ -437,3 +437,36 @@ class TestDpStage1Flow:
             losses[name] = float(m["loss"])
             assert np.isfinite(losses[name])
         assert losses["mixed"] != losses["off"], losses
+
+
+class TestDp2D:
+    @pytest.mark.slow
+    def test_stage2_data_x_tile_matches_dp_only(self):
+        """2D parallelism: the FULL stage-2 step on a (data=2, tile=4) mesh —
+        frames sharded over 'data', each frame's blend shard_map'd over
+        'tile' — matches the dp-only (data=2) step."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        scene, state = g._build_tiny_scene(width=64, height=64, n_train=4)
+        B = 2
+        frames = stack_frames(scene.train_frames[:B])
+        i = TestMesh._stage2_inputs(state, B, state.gs.capacity)
+
+        def run(mesh, **kw):
+            step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True, **kw)
+            return step(
+                state, shard_batch(frames, mesh), i["uids"], i["bg"], i["lrs_gs"],
+                i["lrs_skel"],
+                shard_batch(i["pre_dx"], mesh), shard_batch(i["pre_dj"], mesh),
+                shard_batch(i["lam_to"], mesh), shard_batch(i["lam_tf"], mesh),
+                stage2_flags(active_sh=1),
+            )
+
+        s2d, m2d = run(make_mesh(data=2, tile=4), tile_parallel=True)
+        s1d, m1d = run(make_mesh(data=2, tile=1))
+        np.testing.assert_allclose(float(m2d["loss"]), float(m1d["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s2d), jax.tree.leaves(s1d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
