@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--num_processes", type=int, default=2)
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--devices_per_process", type=int, default=4)
+    ap.add_argument(
+        "--stage2", action="store_true",
+        help="run the FULL stage-2 dp step (warmup/chamfer/template losses) "
+        "instead of the static step",
+    )
     args = ap.parse_args()
 
     import jax
@@ -52,20 +57,50 @@ def main():
     mesh = make_host_mesh(tile=1)
     n_data = mesh.shape["data"]
 
-    # deterministic scene on every host (stands in for a shared filesystem)
-    _, scene = make_scene_data(n_train=n_data, n_test=1, width=32, height=32, n_init_points=64)
-    gs = G.create_from_pcd(scene.init_points, scene.init_colors, capacity=128, max_sh_degree=0)
-    state = TrainState(gs=gs, opt=O.adam_init(gs.params_dict()), stats=G.init_densify_stats(128))
+    if args.stage2:
+        # deterministic flagship stage-2 state on every host; the FULL dp
+        # stage-2 step (distillation/chamfer/template losses, traced flags)
+        # with its all-reduce crossing processes
+        import __graft_entry__ as g
+        from riggs_tpu.parallel.train import make_dp_stage2_step, stage2_flags
 
-    local, _ = host_local_frames(scene.train_frames, batch=n_data, step=0)
-    batch = global_batch(stack_frames(local), mesh)
+        scene, state = g._build_tiny_scene(width=32, height=32, n_train=n_data)
+        local, idx = host_local_frames(scene.train_frames, batch=n_data, step=0)
+        batch = global_batch(stack_frames(local), mesh)
+        B = n_data
+        J = state.skel.joints.shape[0]
+        lo = (B // jax.process_count()) * jax.process_index()
+        hi = lo + B // jax.process_count()
+        step = make_dp_stage2_step(mesh, max_per_tile=128, use_chamfer=True)
+        new_state, metrics = step(
+            state,
+            batch,
+            global_batch(np.asarray(idx, np.int32)[lo:hi], mesh),
+            jnp.zeros(3),
+            {k: jnp.asarray(1e-4, jnp.float32) for k in state.gs.params_dict()},
+            jnp.asarray(1e-4, jnp.float32),
+            global_batch(np.zeros((hi - lo, state.gs.capacity, 3), np.float32), mesh),
+            global_batch(np.zeros((hi - lo, J, 3), np.float32), mesh),
+            global_batch(np.full((hi - lo,), 1e-2, np.float32), mesh),
+            global_batch(np.zeros((hi - lo,), np.float32), mesh),
+            stage2_flags(active_sh=1),
+        )
+        loss_val = float(metrics["loss"])
+        moved = float(jnp.abs(new_state.skel.node_radius_log - state.skel.node_radius_log).max())
+    else:
+        _, scene = make_scene_data(n_train=n_data, n_test=1, width=32, height=32, n_init_points=64)
+        gs = G.create_from_pcd(scene.init_points, scene.init_colors, capacity=128, max_sh_degree=0)
+        state = TrainState(gs=gs, opt=O.adam_init(gs.params_dict()), stats=G.init_densify_stats(128))
 
-    step = make_dp_static_step(mesh, active_sh=0, max_per_tile=128)
-    new_state, loss = step(state, batch, jnp.zeros(3), jnp.asarray(1e-3))
-    loss_val = float(loss)  # fully replicated scalar — same on every host
+        local, _ = host_local_frames(scene.train_frames, batch=n_data, step=0)
+        batch = global_batch(stack_frames(local), mesh)
+
+        step = make_dp_static_step(mesh, active_sh=0, max_per_tile=128)
+        new_state, loss = step(state, batch, jnp.zeros(3), jnp.asarray(1e-3))
+        loss_val = float(loss)  # fully replicated scalar — same on every host
+        moved = float(jnp.abs(new_state.gs.xyz - state.gs.xyz).max())
     assert np.isfinite(loss_val)
     # the step must have moved the replicated params identically on all hosts
-    moved = float(jnp.abs(new_state.gs.xyz - state.gs.xyz).max())
     assert moved > 0.0
     if jax.process_index() == 0:
         print(f"MULTIHOST OK loss={loss_val:.6f} procs={jax.process_count()}", flush=True)

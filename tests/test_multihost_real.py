@@ -14,7 +14,8 @@ ROOT = Path(__file__).parent.parent
 
 
 @pytest.mark.slow
-def test_two_process_step():
+@pytest.mark.parametrize("extra", [[], ["--stage2"]], ids=["static", "stage2"])
+def test_two_process_step(extra):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -28,6 +29,7 @@ def test_two_process_step():
                 "--coordinator", coord,
                 "--num_processes", "2",
                 "--process_id", str(pid),
+                *extra,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
