@@ -144,10 +144,12 @@ def main():
         s1, hist1 = train_stage1_dp(
             scene, cfg, make_mesh(data=args.dp, tile=1), log_every=500,
             step_callback=s1_cb if (args.viewer_port or args.gui_port) else None,
+            source_path=None if args.synthetic else cfg.model.source_path,
         )
     else:
         s1, hist1 = train_stage1(scene, cfg, log_every=500,
-                                 step_callback=s1_cb if (args.viewer_port or args.gui_port) else None)
+                                 step_callback=s1_cb if (args.viewer_port or args.gui_port) else None,
+                                 source_path=None if args.synthetic else cfg.model.source_path)
     print(f"stage 1 done in {time.time() - t0:.0f}s")
     save_checkpoint(model_path, cfg.opt.iterations, s1, gs=s1.gs, cfg=cfg)
 

@@ -29,6 +29,7 @@ def test_two_process_step(extra):
                 "--coordinator", coord,
                 "--num_processes", "2",
                 "--process_id", str(pid),
+                "--devices_per_process", "2",
                 *extra,
             ],
             stdout=subprocess.PIPE,
@@ -39,8 +40,14 @@ def test_two_process_step(extra):
 
     p1 = proc(1)
     p0 = proc(0)
-    out0, _ = p0.communicate(timeout=280)
-    out1, _ = p1.communicate(timeout=60)
+    try:
+        # generous: the suite's xdist workers contend for the 4 cores
+        out0, _ = p0.communicate(timeout=540)
+        out1, _ = p1.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p0.kill()
+        p1.kill()
+        raise
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
     assert "MULTIHOST OK" in out0, out0[-2000:]
