@@ -56,6 +56,14 @@ def _pixel_coords(t, tiles_x):
     return px, py
 
 
+QUAD_MXU = False  # A/B knob: EWA power as a (G,6)x(6,P) MXU GEMM over pixel
+# monomials instead of ~7 (G,P) VPU passes. Tile-LOCAL coordinates keep the
+# monomials small so fp32 accumulation stays exact enough (measured: max
+# alpha err 1.5e-6 local vs 1.1e-3 with global pixel coords — catastrophic
+# cancellation between the px^2 and mx*px terms). The GEMM-compatible
+# blending idea from the tensor-core splatting literature (PAPERS.md).
+
+
 def _alphas(gt, px, py):
     """gt: (G, 16) per-gaussian attributes; returns alpha (G, P) + intermediates."""
     mx = gt[:, 0:1]
@@ -66,7 +74,35 @@ def _alphas(gt, px, py):
     op = gt[:, 5:6]
     dx = px - mx  # (G, P)
     dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if QUAD_MXU:
+        # shift to tile-local coordinates (first pixel of the tile)
+        c0x = jax.lax.slice(px, (0, 0), (1, 1))
+        c0y = jax.lax.slice(py, (0, 0), (1, 1))
+        pxl = px - c0x  # (1, P) in [0, TILE)
+        pyl = py - c0y
+        mxl = mx - c0x  # (G, 1)
+        myl = my - c0y
+        coef = jnp.concatenate(
+            [
+                -0.5 * ca,
+                -0.5 * cc,
+                -cb,
+                ca * mxl + cb * myl,
+                cc * myl + cb * mxl,
+                -(0.5 * ca * mxl * mxl + 0.5 * cc * myl * myl + cb * mxl * myl),
+            ],
+            axis=1,
+        )  # (G, 6)
+        mono = jnp.concatenate(
+            [pxl * pxl, pyl * pyl, pxl * pyl, pxl, pyl, jnp.ones_like(pxl)], axis=0
+        )  # (6, P)
+        power = jax.lax.dot_general(
+            coef, mono, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = op * jnp.exp(power)
     raw = jnp.where(power > 0.0, 0.0, raw)
     alpha = jnp.minimum(raw, ALPHA_MAX)
