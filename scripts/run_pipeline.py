@@ -65,6 +65,9 @@ def main():
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.dp * max(args.dp_tile, 1) > 1:
+            # CPU smoke of the multi-chip path: make enough virtual devices
+            jax.config.update("jax_num_cpu_devices", args.dp * max(args.dp_tile, 1))
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
     cfg = config_from_args(args)
