@@ -36,7 +36,6 @@ import pytest
 # smokes early keeps the critical path near total/n_workers instead of
 # serializing a heavy file at the end.
 _HEAVY_FILES = [
-    "test_stage2.py",
     "test_stage1.py",
     "test_train_static.py",
     "test_parallel.py",
