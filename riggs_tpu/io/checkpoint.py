@@ -121,6 +121,12 @@ def save_checkpoint_sharded(model_path: str | Path, iteration: int, state: Any):
     import orbax.checkpoint as ocp
 
     path = (Path(model_path) / "orbax" / f"iteration_{iteration}").absolute()
+    # orbax refuses zero-size arrays (e.g. (C, 0) feature planes when
+    # hyper_dim == 0); they carry no data, so stand in a scalar and rebuild
+    # from the template's shape/dtype at load
+    state = jax.tree.map(
+        lambda x: np.zeros((), np.float32) if getattr(x, "size", 1) == 0 else x, state
+    )
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
@@ -142,15 +148,26 @@ def load_checkpoint_sharded(
     it = search_max_iteration(base) if iteration == -1 else iteration
     if it is None:
         raise FileNotFoundError(f"no orbax checkpoints under {base}")
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(
-            tuple(x.shape), x.dtype, sharding=getattr(x, "sharding", None)
-        )
-        if hasattr(x, "shape")
-        else x,
-        template,
-    )
+    def abstract_leaf(x):
+        if not hasattr(x, "shape"):
+            return x
+        if getattr(x, "size", 1) == 0:  # saved as a scalar stand-in
+            return jax.ShapeDtypeStruct((), np.float32)
+        return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype, sharding=getattr(x, "sharding", None))
+
+    abstract = jax.tree.map(abstract_leaf, template)
     ckptr = ocp.StandardCheckpointer()
     out = ckptr.restore((base / f"iteration_{it}").absolute(), abstract)
     ckptr.close()
+    # rebuild zero-size leaves (their content is fully determined by the
+    # template's shape/dtype/sharding)
+    import jax.numpy as jnp
+
+    out = jax.tree.map(
+        lambda t, o: jax.device_put(jnp.zeros(t.shape, t.dtype), getattr(t, "sharding", None))
+        if getattr(t, "size", 1) == 0
+        else o,
+        template,
+        out,
+    )
     return out, it

@@ -394,6 +394,32 @@ class TestShardedCheckpoint:
             np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(state[k]))
             assert out[k].sharding == state[k].sharding
 
+    @pytest.mark.slow
+    def test_orbax_roundtrip_stage2_state(self, tmp_path):
+        """The real Stage2State pytree (static-field dataclasses, zero-size
+        feature planes when hyper_dim == 0) round-trips."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from riggs_tpu.io.checkpoint import (
+            load_checkpoint_sharded,
+            save_checkpoint_sharded,
+        )
+
+        _, state = g._build_tiny_scene(width=32, height=32, n_train=2, render_gt=False)
+        mesh = make_mesh(data=8, tile=1)
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        save_checkpoint_sharded(tmp_path, 3, state_r)
+        out, it = load_checkpoint_sharded(tmp_path, state_r)
+        assert it == 3
+        la, lb = jax.tree.leaves(out), jax.tree.leaves(state_r)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestDpStage1Flow:
     @pytest.mark.slow
