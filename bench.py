@@ -52,6 +52,10 @@ def main():
         "--ladder", action="store_true",
         help="count-adaptive per-tile window capacities (probe + make_tile_ladder)",
     )
+    ap.add_argument(
+        "--quad-mxu", action="store_true",
+        help="EWA power as a tile-local monomial GEMM (pallas_blend.QUAD_MXU)",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -60,6 +64,11 @@ def main():
 
     from riggs_tpu.camera import make_camera
     from riggs_tpu.render.tiles import rasterize_tiled
+
+    if args.quad_mxu:
+        import riggs_tpu.render.pallas_blend as _pb
+
+        _pb.QUAD_MXU = True
 
     cam = make_camera(
         np.eye(3), np.array([0, 0, 2.5]), args.size, args.size, fovx=0.9, fovy=0.9
