@@ -223,6 +223,12 @@ def rasterize_tiled(
     """
     if blend == "auto":
         blend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
+    if tile_shard_mesh is not None:
+        if tile_ladder is not None or binning == "runs":
+            raise ValueError("tile_shard_mesh composes with the plain-window pallas blend only")
+        # the sharded blend IS the pallas kernel (interpret-mode on CPU):
+        # never fall back silently to the unsharded jnp path
+        blend = "pallas"
     from riggs_tpu.render.binning import (
         bin_gaussians_compact,
         bin_gaussians_runs,
