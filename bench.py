@@ -62,6 +62,18 @@ def main():
     if args.platform == "cpu" and not args.ladder:
         args.blend = "jnp"  # pallas interpret mode is slow; cpu smoke uses XLA path
 
+    # the axon register() can fail transiently right after a chip outage or a
+    # recently killed TPU process (grant still held) — retry before giving up
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 2:
+                raise
+            print(f"device init failed ({e}); retrying in 30s", file=sys.stderr)
+            time.sleep(30)
+
     from riggs_tpu.camera import make_camera
     from riggs_tpu.render.tiles import rasterize_tiled
 
