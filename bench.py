@@ -56,6 +56,16 @@ def main():
         "--quad-mxu", action="store_true",
         help="EWA power as a tile-local monomial GEMM (pallas_blend.QUAD_MXU)",
     )
+    ap.add_argument(
+        "--packed-sort", action="store_true",
+        help="single int32 (tile*N + depth-rank) instance key (binning.SORT_PACKED)",
+    )
+    ap.add_argument("--ladder-buckets", type=int, default=4)
+    ap.add_argument(
+        "--ladder-margin", type=float, default=1.3,
+        help="headroom on the probed count envelope (1.3 = the training default; "
+        "the bench scene is static so lower margins stay exact here)",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -81,6 +91,10 @@ def main():
         import riggs_tpu.render.pallas_blend as _pb
 
         _pb.QUAD_MXU = True
+    if args.packed_sort:
+        import riggs_tpu.render.binning as _bn
+
+        _bn.SORT_PACKED = True
 
     cam = make_camera(
         np.eye(3), np.array([0, 0, 2.5]), args.size, args.size, fovx=0.9, fovy=0.9
@@ -98,7 +112,10 @@ def main():
             cam, means, colors, opacity, scales, rots, bg,
             max_per_tile=args.max_per_tile, blend=args.blend,
         )
-        extra["tile_ladder"] = make_tile_ladder(np.asarray(probe["tile_counts"]))
+        extra["tile_ladder"] = make_tile_ladder(
+            np.asarray(probe["tile_counts"]),
+            n_buckets=args.ladder_buckets, margin=args.ladder_margin,
+        )
 
     def loss_fn(means, colors, opacity, scales, rots):
         out = rasterize_tiled(

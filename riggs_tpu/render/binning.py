@@ -33,6 +33,11 @@ from riggs_tpu.render.project import Projected
 
 TILE = 32  # 32x32 pixels = 1024 lanes per tile, a good VPU shape
 
+SORT_PACKED = False  # A/B knob (bench.py --packed-sort): single int32
+# (tile * N + depth-rank) instance key -> 2-operand 1-key lax.sort instead of
+# the 3-operand (tile, f32 depth, gid) 2-key form; exact same order (stable
+# argsort depth-ranking), auto-disabled when (T+1)*N would overflow int32.
+
 
 def _extract_windows(src: jax.Array, starts: jax.Array, max_per_tile: int) -> jax.Array:
     """(T, MAX) windows ``src[starts[t] : starts[t]+MAX]`` of a 1-D int32 array.
@@ -355,9 +360,23 @@ def bin_gaussians_sorted(
             sel, giant_cap, lo, giant_side, tile_id, depth, gid, rect_overflow_cells
         )
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth, gid), num_keys=2
-    )  # grouped by tile, front-to-back within each tile
+    if SORT_PACKED and (T + 1) * N < 2**31:
+        # 2-operand single-key sort: depth-rank the N gaussians once (cheap vs
+        # the instance count after tiered enumeration), then pack
+        # (tile, depth-rank) into one int32 key — exact front-to-back order,
+        # one fewer 535k-row sort operand than the 3-op (tile, f32 depth, gid)
+        # form. Guarded by (T+1)*N < 2^31 (the sentinel tile T must pack too).
+        order = jnp.argsort(jnp.where(proj.mask, proj.depth, jnp.inf)).astype(jnp.int32)
+        drank_of_gid = jnp.zeros((N,), jnp.int32).at[order].set(
+            jnp.arange(N, dtype=jnp.int32)
+        )
+        key = tile_id * N + drank_of_gid[gid]
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
+        tile_sorted = None
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, depth, gid), num_keys=2
+        )  # grouped by tile, front-to-back within each tile
 
     if counts_via == "histogram" and opacity is None and giant_cap == 0:
         # emitted cells per gaussian are the rect clipped to side x side, so
@@ -369,8 +388,12 @@ def bin_gaussians_sorted(
         count, starts = _mxu_tile_histogram(proj, lox, hix_e, loy, hiy_e, tx_n, ty_n)
     else:
         tids = jnp.arange(T, dtype=jnp.int32)
-        starts = jnp.searchsorted(tile_sorted, tids).astype(jnp.int32)
-        ends = jnp.searchsorted(tile_sorted, tids + 1).astype(jnp.int32)
+        if tile_sorted is None:  # packed key: tile boundaries at multiples of N
+            starts = jnp.searchsorted(key_sorted, tids * N).astype(jnp.int32)
+            ends = jnp.searchsorted(key_sorted, (tids + 1) * N).astype(jnp.int32)
+        else:
+            starts = jnp.searchsorted(tile_sorted, tids).astype(jnp.int32)
+            ends = jnp.searchsorted(tile_sorted, tids + 1).astype(jnp.int32)
         count = (ends - starts).astype(jnp.int32)
 
     s = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
