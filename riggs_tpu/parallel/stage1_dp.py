@@ -82,16 +82,32 @@ def train_stage1_dp(
             flow_store = fs
 
     gauss_lrs, warp_lrs = stage1_lr_fns(cfg)
-    step = make_dp_stage1_step(
-        mesh,
-        use_chamfer=frames[0].thinned is not None,
-        use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and frames[0].alpha_mask is not None,
-        use_flow_loss=flow_store is not None,
-        lambda_chamfer=o.lambda_deformed_node_prjection,
-        lambda_dssim=o.lambda_dssim,
-        max_per_tile=cfg.pipe.max_per_tile,
-        isotropic=cfg.model.use_isotropic_gs,
-    )
+
+    # count-adaptive window ladder (render/ladder.py LadderPolicy): the probe
+    # rides the first steps with plain windows; a fit/refit rebuilds the step
+    # (same jit cache keying as the single-chip trainer's static arg)
+    ladder_pol = None
+    if cfg.pipe.use_tile_ladder and cfg.pipe.rasterizer == "tiled":
+        from riggs_tpu.render.ladder import LadderPolicy
+
+        ladder_pol = LadderPolicy(
+            n_buckets=cfg.pipe.ladder_buckets, margin=cfg.pipe.ladder_margin
+        )
+
+    def build_step():
+        return make_dp_stage1_step(
+            mesh,
+            use_chamfer=frames[0].thinned is not None,
+            use_motion_loss=o.gt_alpha_mask_as_dynamic_mask and frames[0].alpha_mask is not None,
+            use_flow_loss=flow_store is not None,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            lambda_dssim=o.lambda_dssim,
+            max_per_tile=cfg.pipe.max_per_tile,
+            isotropic=cfg.model.use_isotropic_gs,
+            tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
+        )
+
+    step = build_step()
     from riggs_tpu.train.sampling import FrameSampler
 
     sampler = FrameSampler(frames, rng)
@@ -151,6 +167,14 @@ def train_stage1_dp(
             ),
         )
         steps_done = it // B
+        if ladder_pol is not None and (
+            ladder_pol.ladder is None
+            or steps_done % max(cfg.pipe.ladder_check_every // B, 1) == 0
+        ):
+            if ladder_pol.observe(
+                metrics["tile_counts"], int(metrics["overflow_tiles"])
+            ):
+                step = build_step()
         node_dp = (
             o.node_enable_densify_prune
             and o.node_densify_from_iter < it < o.node_densify_until_iter
@@ -181,7 +205,7 @@ def train_stage1_dp(
             )
             state = dataclasses.replace(state, gs=gs, opt_gs=opt)
         if log_every and steps_done % max(log_every // B, 1) == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
             history.append(("Bdp", it, m))
             print(f"[S1dp {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f}")
         if step_callback is not None:

@@ -84,17 +84,34 @@ def train_stage2_dp(
     use_chamfer = (
         frames[0].thinned is not None and o.lambda_deformed_node_prjection > 1e-8
     )
-    step = make_dp_stage2_step(
-        mesh,
-        use_chamfer=use_chamfer,
-        lambda_chamfer=o.lambda_deformed_node_prjection,
-        lambda_rendering=o.lambda_rendering_image,
-        lambda_dssim=o.lambda_dssim,
-        max_per_tile=cfg.pipe.max_per_tile,
-        isotropic=cfg.model.use_isotropic_gs,
-        # 2D mesh: also shard each frame's blend over the 'tile' axis
-        tile_parallel=mesh.shape.get("tile", 1) > 1,
-    )
+    # count-adaptive window ladder (render/ladder.py LadderPolicy): probe
+    # rides the first steps with plain windows; a fit/refit rebuilds the step.
+    # The ladder doesn't compose with tile-sharding (make_dp_stage2_step
+    # keeps plain windows when tile_parallel), so skip the policy there.
+    tile_parallel = mesh.shape.get("tile", 1) > 1
+    ladder_pol = None
+    if cfg.pipe.use_tile_ladder and cfg.pipe.rasterizer == "tiled" and not tile_parallel:
+        from riggs_tpu.render.ladder import LadderPolicy
+
+        ladder_pol = LadderPolicy(
+            n_buckets=cfg.pipe.ladder_buckets, margin=cfg.pipe.ladder_margin
+        )
+
+    def build_step():
+        return make_dp_stage2_step(
+            mesh,
+            use_chamfer=use_chamfer,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            lambda_rendering=o.lambda_rendering_image,
+            lambda_dssim=o.lambda_dssim,
+            max_per_tile=cfg.pipe.max_per_tile,
+            isotropic=cfg.model.use_isotropic_gs,
+            # 2D mesh: also shard each frame's blend over the 'tile' axis
+            tile_parallel=tile_parallel,
+            tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
+        )
+
+    step = build_step()
     from riggs_tpu.train.sampling import FrameSampler
 
     sampler = FrameSampler(frames, rng)
@@ -158,6 +175,14 @@ def train_stage2_dp(
                 enable_sm=enable_sm,
             ),
         )
+        if ladder_pol is not None and (
+            ladder_pol.ladder is None
+            or (it // B) % max(cfg.pipe.ladder_check_every // B, 1) == 0
+        ):
+            if ladder_pol.observe(
+                metrics["tile_counts"], int(metrics["overflow_tiles"])
+            ):
+                step = build_step()
         if (
             not warm
             and o.gs_densification_iterations < it < o.densify_until_iter
@@ -174,7 +199,7 @@ def train_stage2_dp(
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
         if log_every and (it // B) % max(log_every // B, 1) == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
             history.append((it, m))
             print(
                 f"[S2dp {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f}"

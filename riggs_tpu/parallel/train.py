@@ -60,6 +60,7 @@ def make_dp_stage2_step(
     max_per_tile: int = 256,
     isotropic: bool = False,
     tile_parallel: bool = False,
+    tile_ladder: tuple | None = None,
 ):
     """Build a jitted frame-parallel stage-2 training step over ``mesh``.
 
@@ -98,12 +99,18 @@ def make_dp_stage2_step(
                 max_per_tile=max_per_tile,
                 isotropic=isotropic,
                 tile_shard_mesh=mesh if tile_parallel else None,
+                # ladder and tile-sharding don't compose (the ladder permutes
+                # tiles by count rank; the shards split by tile index) — the
+                # tile-parallel step keeps plain windows
+                tile_ladder=None if tile_parallel else tile_ladder,
             )
             per_frame = {
                 "radii": out["radii"],
                 "visible": out["visibility_filter"],
                 "psnr": L.psnr(out["render"], frame.image),
                 "chamfer": aux.get("chamfer", jnp.zeros(())),
+                "overflow_tiles": out["overflow_tiles"],
+                "tile_counts": out["tile_counts"],
             }
             return loss, per_frame
 
@@ -172,7 +179,12 @@ def make_dp_stage2_step(
             stats_gs=stats,
             proj_loss=proj_loss,
         )
-        return new_state, {"loss": loss, "psnr": jnp.mean(pf["psnr"])}
+        return new_state, {
+            "loss": loss,
+            "psnr": jnp.mean(pf["psnr"]),
+            "overflow_tiles": jnp.sum(pf["overflow_tiles"]),
+            "tile_counts": pf["tile_counts"],  # (B, T) — ladder-policy input
+        }
 
     return step
 
@@ -186,6 +198,7 @@ def make_dp_stage1_step(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
+    tile_ladder: tuple | None = None,
 ):
     """Build a jitted frame-parallel stage-1 phase-B training step over
     ``mesh``.
@@ -225,11 +238,14 @@ def make_dp_stage1_step(
                 lambda_dssim=lambda_dssim,
                 max_per_tile=max_per_tile,
                 isotropic=isotropic,
+                tile_ladder=tile_ladder,
             )
             per_frame = {
                 "radii": out["radii"],
                 "visible": out["visibility_filter"],
                 "psnr": L.psnr(out["render"], frame.image),
+                "overflow_tiles": out["overflow_tiles"],
+                "tile_counts": out["tile_counts"],
             }
             return loss, per_frame
 
@@ -280,7 +296,12 @@ def make_dp_stage1_step(
             opt_warp=opt_warp,
             stats_gs=stats,
         )
-        return new_state, {"loss": loss, "psnr": jnp.mean(pf["psnr"])}
+        return new_state, {
+            "loss": loss,
+            "psnr": jnp.mean(pf["psnr"]),
+            "overflow_tiles": jnp.sum(pf["overflow_tiles"]),
+            "tile_counts": pf["tile_counts"],  # (B, T) — ladder-policy input
+        }
 
     return step
 

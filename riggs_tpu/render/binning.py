@@ -8,8 +8,11 @@ site). Two strategies:
     ``max_tiles_per_gaussian`` (tile_id, depth, gid) instances covering its
     bbox rectangle; one multi-operand ``lax.sort`` with (tile_id, depth) as
     the key groups instances by tile in front-to-back order — the XLA analog
-    of the CUDA 64-bit-key radix sort, with no tile_id*N product that could
-    overflow int32 at large N (advisor round-1 finding). Per-tile windows are
+    of the CUDA 64-bit-key radix sort. The default 2-key form has no
+    tile_id*N product that could overflow int32 at large N (advisor round-1
+    finding); the opt-in ``SORT_PACKED`` single-key variant reintroduces the
+    product behind a (T+1)*N < 2^31 guard (falls back to 2-key with a
+    one-time warning). Per-tile windows are
     located with searchsorted and compacted to a dense (T, MAX) index table.
   * ``bin_gaussians`` (dense reference): exact (T, N) bbox-mask compaction,
     O(T*N) memory — the oracle-parity reference for tests.
@@ -35,8 +38,14 @@ TILE = 32  # 32x32 pixels = 1024 lanes per tile, a good VPU shape
 
 SORT_PACKED = False  # A/B knob (bench.py --packed-sort): single int32
 # (tile * N + depth-rank) instance key -> 2-operand 1-key lax.sort instead of
-# the 3-operand (tile, f32 depth, gid) 2-key form; exact same order (stable
-# argsort depth-ranking), auto-disabled when (T+1)*N would overflow int32.
+# the 3-operand (tile, f32 depth, gid) 2-key form; auto-disabled (with a
+# one-time warning) when (T+1)*N would overflow int32. Ordering note
+# (advisor round-2): for distinct depths the packed order is bit-identical
+# to the 2-key sort; bit-identical ties (e.g. clone-densified gaussians)
+# resolve by depth-rank (gaussian index) here vs instance-stream position
+# there — both are valid front-to-back orders, rendering is unaffected.
+
+_warned_packed_guard = False
 
 
 def _extract_windows(src: jax.Array, starts: jax.Array, max_per_tile: int) -> jax.Array:
@@ -360,6 +369,17 @@ def bin_gaussians_sorted(
             sel, giant_cap, lo, giant_side, tile_id, depth, gid, rect_overflow_cells
         )
 
+    if SORT_PACKED and (T + 1) * N >= 2**31:
+        global _warned_packed_guard
+        if not _warned_packed_guard:
+            _warned_packed_guard = True
+            import warnings
+
+            warnings.warn(
+                f"SORT_PACKED requested but (T+1)*N = {(T + 1) * N} >= 2^31; "
+                "falling back to the 3-operand 2-key sort",
+                stacklevel=2,
+            )
     if SORT_PACKED and (T + 1) * N < 2**31:
         # 2-operand single-key sort: depth-rank the N gaussians once (cheap vs
         # the instance count after tiered enumeration), then pack

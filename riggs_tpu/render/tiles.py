@@ -221,6 +221,10 @@ def rasterize_tiled(
     shard_map with the shard's global tile offset (pixel parallelism; composes
     under a data-sharded vmap for 2D data x tile training steps).
     """
+    if tile_ladder is not None and blend == "auto":
+        # the laddered blend IS the permuted pallas kernel; run it in
+        # interpret mode on CPU rather than silently dropping the ladder
+        blend = "pallas"
     if blend == "auto":
         blend = "pallas" if jax.devices()[0].platform != "cpu" else "jnp"
     if tile_shard_mesh is not None:

@@ -54,6 +54,13 @@ class PipelineConfig:
     debug: bool = False
     rasterizer: str = "tiled"  # tiled | oracle
     max_per_tile: int = 1024
+    # count-adaptive per-tile window ladder (render/ladder.py LadderPolicy):
+    # probe rides the first training steps, refit on counted overflow.
+    # Measured +13% rasterizer fwd+bwd at the 800p/100k bench (perf_r3.py).
+    use_tile_ladder: bool = True
+    ladder_buckets: int = 4
+    ladder_margin: float = 1.3
+    ladder_check_every: int = 100  # overflow-check cadence (each check syncs host<->device)
 
 
 @dataclass

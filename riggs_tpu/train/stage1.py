@@ -429,6 +429,7 @@ def stage1_frame_loss(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
+    tile_ladder: tuple | None = None,
 ):
     """Stage-1 phase-B per-frame loss (train_gui.py:1025-1145 semantics) —
     shared by the single-chip ``phase_b_step`` and the frame-parallel
@@ -466,6 +467,7 @@ def stage1_frame_loss(
         active_sh_degree=active_sh,
         mean2d_bias=mean2d_bias,
         max_per_tile=max_per_tile,
+        tile_ladder=tile_ladder,
     )
     loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
     aux = {"img_loss": loss}
@@ -537,6 +539,7 @@ def stage1_frame_loss(
         "lambda_dssim",
         "max_per_tile",
         "isotropic",
+        "tile_ladder",
     ),
 )
 def phase_b_step(
@@ -558,6 +561,7 @@ def phase_b_step(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
+    tile_ladder: tuple | None = None,
 ):
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
 
@@ -567,7 +571,7 @@ def phase_b_step(
             lambda_flow, lambda_chamfer, warm=warm, active_sh=active_sh,
             use_chamfer=use_chamfer, use_motion_loss=use_motion_loss,
             use_flow_loss=use_flow_loss, lambda_dssim=lambda_dssim,
-            max_per_tile=max_per_tile, isotropic=isotropic,
+            max_per_tile=max_per_tile, isotropic=isotropic, tile_ladder=tile_ladder,
         )
 
     params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
@@ -588,6 +592,9 @@ def phase_b_step(
     )
     metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}
     metrics.update({k: v for k, v in aux.items() if k != "img_loss"})
+    # ladder policy inputs (tile_counts is non-scalar — filtered from logging)
+    metrics["overflow_tiles"] = out["overflow_tiles"]
+    metrics["tile_counts"] = out["tile_counts"]
     return new_state, metrics
 
 
@@ -699,6 +706,16 @@ def train_stage1(
             flow_store = fs
 
     sampler = FrameSampler(frames, rng)
+    # count-adaptive window ladder (render/ladder.py LadderPolicy): probe
+    # rides the first steps, refit on counted overflow (see train_stage2)
+    ladder_pol = None
+    if cfg.pipe.use_tile_ladder and cfg.pipe.rasterizer == "tiled":
+        from riggs_tpu.render.ladder import LadderPolicy
+
+        ladder_pol = LadderPolicy(
+            n_buckets=cfg.pipe.ladder_buckets, margin=cfg.pipe.ladder_margin
+        )
+    densified_at = -1
     for it in range(o.iterations):
         fidx = sampler.sample(
             it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps
@@ -751,7 +768,16 @@ def train_stage1(
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
+            tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
+        if ladder_pol is not None and (
+            ladder_pol.ladder is None
+            or it % cfg.pipe.ladder_check_every == 0
+            or it == densified_at + 1
+        ):
+            ladder_pol.observe(
+                metrics["tile_counts"], int(metrics["overflow_tiles"])
+            )
         node_dp = (
             o.node_enable_densify_prune
             and o.node_densify_from_iter < it < o.node_densify_until_iter
@@ -770,6 +796,7 @@ def train_stage1(
                 percent_dense=o.percent_dense,
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+            densified_at = it
         if it > 0 and it % o.opacity_reset_interval == 0:
             gs = G.reset_opacity(state.gs)
             opt = O.AdamState(
@@ -779,7 +806,9 @@ def train_stage1(
             )
             state = dataclasses.replace(state, gs=gs, opt_gs=opt)
         if log_every and it % log_every == 0:
-            history.append(("B", it, {k: float(v) for k, v in metrics.items()}))
+            history.append(
+                ("B", it, {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0})
+            )
             m = history[-1][2]
             print(f"[B {it}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} gs={int(m['n_gs'])}")
         if eval_every and eval_fn is not None and it > 0 and it % eval_every == 0:

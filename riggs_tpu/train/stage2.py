@@ -204,6 +204,7 @@ def stage2_frame_loss(
     max_per_tile: int = 1024,
     isotropic: bool = False,
     tile_shard_mesh=None,
+    tile_ladder: tuple | None = None,
 ):
     """Full per-frame stage-2 loss (render_and_cal_loss, train_rig.py:416-515).
 
@@ -264,6 +265,7 @@ def stage2_frame_loss(
         mean2d_bias=mean2d_bias,
         max_per_tile=max_per_tile,
         tile_shard_mesh=tile_shard_mesh,
+        tile_ladder=tile_ladder,
     )
     # warm is a traced 0/1 weight: warmup distills toward the precomputed
     # node-warp deformation, the main phase trains photometric — one compiled
@@ -280,7 +282,7 @@ def stage2_frame_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("lambda_dssim", "max_per_tile", "isotropic"),
+    static_argnames=("lambda_dssim", "max_per_tile", "isotropic", "tile_ladder"),
 )
 def stage2_step(
     state: Stage2State,
@@ -303,6 +305,7 @@ def stage2_step(
     lambda_dssim: float = 0.2,
     max_per_tile: int = 1024,
     isotropic: bool = False,
+    tile_ladder: tuple | None = None,
 ):
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
 
@@ -321,6 +324,7 @@ def stage2_step(
             lambda_dssim=lambda_dssim,
             max_per_tile=max_per_tile,
             isotropic=isotropic,
+            tile_ladder=tile_ladder,
         )
 
     params = {"gs": state.gs.params_dict(), "skel": state.skel.params_dict()}
@@ -352,6 +356,11 @@ def stage2_step(
     )
     metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}
     metrics.update(aux)
+    # ladder policy inputs: true per-tile hit counts + truncation counters
+    # (non-scalar tile_counts is filtered out of the scalar logging path)
+    metrics["overflow_tiles"] = out["overflow_tiles"]
+    metrics["overflow_rect"] = out["overflow_rect"]
+    metrics["tile_counts"] = out["tile_counts"]
     return new_state, metrics
 
 
@@ -460,6 +469,19 @@ def train_stage2(
 
     sampler = FrameSampler(frames, rng)
 
+    # count-adaptive window ladder: probe rides the first n_probe steps (plain
+    # windows), then the step recompiles once with the fitted ladder; a step
+    # reporting ladder truncation (overflow_tiles > 0, never silent) grows the
+    # envelope and refits. Checked on a cadence to bound host syncs.
+    ladder_pol = None
+    if cfg.pipe.use_tile_ladder and cfg.pipe.rasterizer == "tiled":
+        from riggs_tpu.render.ladder import LadderPolicy
+
+        ladder_pol = LadderPolicy(
+            n_buckets=cfg.pipe.ladder_buckets, margin=cfg.pipe.ladder_margin
+        )
+    densified_at = -1
+
     for it in range(start_it, o.iterations):
         uid = sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
         frame = frames[uid]
@@ -506,7 +528,16 @@ def train_stage2(
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
+            tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
+        if ladder_pol is not None and (
+            ladder_pol.ladder is None
+            or it % cfg.pipe.ladder_check_every == 0
+            or it == densified_at + 1
+        ):
+            ladder_pol.observe(
+                metrics["tile_counts"], int(metrics["overflow_tiles"])
+            )
         if (
             not warm
             and o.gs_densification_iterations < it < o.densify_until_iter
@@ -522,8 +553,9 @@ def train_stage2(
                 percent_dense=o.percent_dense,
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+            densified_at = it
         if log_every and it % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
             history.append((it, m))
             if logger is not None:
                 logger.scalars(it, "train_skeleton", m)

@@ -148,50 +148,3 @@ class TestLadderedWindows:
         assert int(out["overflow_tiles"]) == 0
         np.testing.assert_allclose(np.asarray(probe["image"]), np.asarray(out["image"]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(probe["alpha"]), np.asarray(out["alpha"]), atol=2e-5)
-
-
-class TestQuadMxu:
-    def test_quad_mxu_matches_elementwise(self, rng):
-        """QUAD_MXU (EWA power as a tile-local monomial GEMM) must match the
-        elementwise quadratic through the full fwd+bwd pipeline."""
-        import riggs_tpu.render.pallas_blend as PB
-        from riggs_tpu.camera import make_camera
-        from riggs_tpu.render.tiles import rasterize_tiled
-
-        n = 300
-        means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.6)
-        colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
-        opacity = jnp.asarray(rng.uniform(0.3, 0.95, size=(n,)).astype(np.float32))
-        scales = jnp.asarray(np.exp(rng.uniform(-4.5, -2.5, size=(n, 3))).astype(np.float32))
-        q = rng.normal(size=(n, 4)).astype(np.float32)
-        rots = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
-        cam = make_camera(np.eye(3), np.array([0, 0, 2.5]), 64, 64, fovx=0.9, fovy=0.9)
-
-        def loss(means, colors, opacity):
-            out = rasterize_tiled(
-                cam, means, colors, opacity, scales, rots, jnp.zeros(3),
-                max_per_tile=256, blend="pallas",
-            )
-            return jnp.mean(out["image"]), out["image"]
-
-        res = {}
-        for flag in (False, True):
-            old = PB.QUAD_MXU
-            PB.QUAD_MXU = flag
-            try:
-                (l, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(
-                    means, colors, opacity
-                )
-            finally:
-                PB.QUAD_MXU = old
-            res[flag] = (np.asarray(img), [np.asarray(x) for x in g])
-        # ~1e-6 power differences flip the ALPHA_MIN (1/255) include bit on a
-        # handful of knife-edge pixels (the CUDA kernel is equally sensitive
-        # to its own op order); require bulk agreement + bounded worst case
-        d = np.abs(res[True][0] - res[False][0])
-        assert (d > 3e-5).mean() < 0.01, (d.max(), (d > 3e-5).mean())
-        assert d.max() < 5e-3, d.max()
-        for a, b in zip(res[True][1], res[False][1]):
-            gd = np.abs(a - b)
-            scale = np.abs(b).max() + 1e-8
-            assert gd.max() / scale < 2e-2, (gd.max(), scale)

@@ -119,7 +119,10 @@ class TestBinning:
     def test_packed_sort_key_exact_match(self, rng, cam):
         """SORT_PACKED (single int32 tile*N+depth-rank key) must reproduce the
         3-operand 2-key sort binning bit-exactly: same windows, counts, starts,
-        and sorted gid stream."""
+        and sorted gid stream. Exactness holds for DISTINCT depths (this
+        scene's): bit-identical depths tie-break by depth-rank in the packed
+        key vs instance-stream position in the 2-key sort — both valid
+        front-to-back orders (advisor round-2)."""
         import riggs_tpu.render.binning as bn
 
         means, colors, opacity, scales, rots = make_scene(rng, n=300)

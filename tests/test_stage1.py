@@ -78,7 +78,12 @@ class TestStage2:
         cfg2 = dataclasses.replace(cfg)
         state, info, frames = init_stage2(jax.random.PRNGKey(0), s1, scene, cfg2)
         J = len(info.joints)
-        assert 2 <= J <= 24, J
+        # the synthetic fixture is the 3-joint / 2-segment chain
+        # (data/synthetic.py make_stick_figure); extraction at this seed must
+        # recover exactly that topology — a 2-joint rig is degenerate (it
+        # cannot articulate the elbow), more joints means over-segmentation
+        # slipped past prune/simplify (VERDICT r2 item 8)
+        assert J == 3, J
         assert info.parents[0] == -1
         assert all(info.parents[i] < i for i in range(1, J))
         assert info.d_xyz.shape[0] == len(frames)
