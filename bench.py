@@ -67,6 +67,11 @@ def main():
         "--packed-sort", action="store_true",
         help="single int32 (tile*N + depth-rank) instance key (binning.SORT_PACKED)",
     )
+    ap.add_argument(
+        "--gm", action="store_true",
+        help="gaussian-major ladder kernels (pallas_blend.GM_LAYOUT): no "
+        "pad/transpose between the row gather and the blend",
+    )
     ap.add_argument("--ladder-buckets", type=int, default=4)
     ap.add_argument(
         "--ladder-margin", type=float, default=1.3,
@@ -101,6 +106,10 @@ def main():
         import riggs_tpu.render.binning as _bn
 
         _bn.SORT_PACKED = True
+    if args.gm:
+        import riggs_tpu.render.pallas_blend as _pb
+
+        _pb.GM_LAYOUT = True
 
     cam = make_camera(
         np.eye(3), np.array([0, 0, 2.5]), args.size, args.size, fovx=0.9, fovy=0.9

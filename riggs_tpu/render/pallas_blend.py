@@ -83,7 +83,8 @@ CUMSUM_MXU = True  # A/B knob: triangular-matmul cumsum vs roll-and-add
 # (measured: 32.9 vs 34.7 ms fwd+bwd at the 800p/100k bench — the matmul
 # frees VPU passes in the VPU-bound backward; scripts/perf_ab3.py)
 
-MXU_SPLIT2 = False  # A/B knob: run the fp32-critical MXU matmuls (triangular
+MXU_SPLIT2 = True  # measured default (+10%: 23.0 vs 25.3 ms fwd+bwd at the
+# 800p/100k bench, scripts/perf_r3b.py): run the fp32-critical MXU matmuls
 # cumsum, fwd accumulation) as a manual bf16 hi/lo split — x = hi + lo with
 # hi = bf16(x) — so two DEFAULT-precision passes reach ~2^-17 relative error
 # instead of HIGHEST's six passes (Mosaic rejects Precision.HIGH, and
@@ -91,6 +92,14 @@ MXU_SPLIT2 = False  # A/B knob: run the fp32-critical MXU matmuls (triangular
 # One operand of each product is exact in bf16 (the ones-triangle / the
 # value rows are small ints or already-rounded colors), so splitting the
 # other suffices.
+
+
+# (Removed round-3: BWD_MOMENTS_MXU — the six per-gaussian gradient moments
+# as one (G,P)@(P,6) MXU matmul against a constant tile-local monomial basis
+# — measured a small regression on-chip: 23.47 vs 23.01 ms with MXU_SPLIT2
+# at the 800p/100k bench (scripts/perf_r3c.py); the fp32-grade split passes
+# plus hi/lo prep cost more than the 5 VPU products + 6 skinny row-sums
+# they replace.)
 
 
 def _dot_f32(a, b, dims, a_exact: bool = False):
@@ -261,6 +270,10 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     draw = dalpha * pass_mask
     dpower = draw * raw
 
+    G = alpha.shape[0]
+    car, cbr, ccr = ca.T, cb.T, cc.T  # (1, G)
+    inv_op = 1.0 / jnp.maximum(op.T, 1e-12)
+
     ones1P = jnp.ones((1, P_TILE), jnp.float32)
 
     def rowsum_row(x):  # (G, P) -> (1, G), directly in output-row layout
@@ -268,10 +281,10 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
             ones1P, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    # the per-gaussian conic factors distribute out of the pixel sums, so the
-    # six gradient rows reduce to five raw moments of dpower (the kernel is
-    # VPU-bound — this saves ~9 (G,P) elementwise passes), and
-    # d_op = sum(draw * exp(power)) = sum(dpower) / op  (raw = op * exp(power))
+    # the per-gaussian conic factors distribute out of the pixel sums, so
+    # the six gradient rows reduce to five raw moments of dpower (the
+    # kernel is VPU-bound — this saves ~9 (G,P) elementwise passes), and
+    # d_op = sum(draw * exp(power)) = sum(dpower) / op (raw = op*exp(power))
     dpx = dx * dpower
     dpy = dy * dpower
     m_x = rowsum_row(dpx)
@@ -280,8 +293,7 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     m_xy = rowsum_row(dy * dpx)
     m_yy = rowsum_row(dy * dpy)
     m_p = rowsum_row(dpower)
-    car, cbr, ccr = ca.T, cb.T, cc.T  # (1, G)
-    inv_op = 1.0 / jnp.maximum(op.T, 1e-12)
+
     d_mx = car * m_x + cbr * m_y
     d_my = ccr * m_y + cbr * m_x
     d_ca = -0.5 * m_xx
@@ -289,7 +301,6 @@ def _bwd_body(scalars_ref, g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry)
     d_cc = -0.5 * m_yy
     d_op = m_p * inv_op
 
-    G = alpha.shape[0]
     dg_ref[0] = jnp.concatenate(
         [
             d_mx, d_my, d_ca, d_cb, d_cc, d_op,
@@ -533,6 +544,286 @@ def _pb_runs_bwd(chunks, tiles_x, interpret, res, dout):
 
 
 pallas_blend_runs.defvjp(_pb_runs_fwd, _pb_runs_bwd)
+
+
+# --- gaussian-major ("gm") kernels -----------------------------------------
+#
+# Same math as _fwd_kernel/_bwd_kernel, but the per-gaussian attribute blocks
+# arrive as (1, G_CHUNK, ROWS_GM) slices of a (T, MAX, ROWS_GM) array — i.e.
+# the direct output layout of the XLA row gather packed[idx] — instead of the
+# channel-major (T, 16, MAX). This removes, per training step: the XLA
+# pad-to-16 concat, the minor-dim (cap<->16) transpose and its backward twin,
+# the (T, MAX)-sized opacity masking pass (rows past the tile's true count
+# are masked IN-KERNEL from count_t), and both in-kernel (16,G)<->(G,16)
+# transposes. Legal block: the lane dim ROWS_GM equals the full array dim, so
+# the 128-divisibility rule doesn't apply; each block is one contiguous
+# G_CHUNK*ROWS_GM*4B HBM segment.
+
+GM_LAYOUT = False  # A/B knob (bench.py --gm): route the ladder path through
+# the gaussian-major kernels below instead of the channel-major ones
+
+ROWS_GM = 10  # mx, my, conic(3), opacity, rgb(3), depth — no sublane padding
+
+
+def _row_mask(count_t, c, g):
+    """(G, 1) float mask for rows past the tile's true hit count (window
+    padding gathers garbage attribute rows — zero their alpha AND raw)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    return ((c * G_CHUNK + row) < count_t).astype(jnp.float32)
+
+
+def _vg_gm(gt):
+    """(G, 8) value columns [r, g, b, depth, 1, 0, 0, 0]."""
+    G = gt.shape[0]
+    ones = jnp.ones((G, 1), jnp.float32)
+    zeros = jnp.zeros((G, 3), jnp.float32)
+    return jnp.concatenate([gt[:, 6:9], gt[:, 9:10], ones, zeros], axis=1)
+
+
+def _fwd_kernel_gm(scalars_ref, g_ref, out_ref, tentry_ref, trun, *, permuted=False):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    tiles_x = scalars_ref[0]
+    if permuted:
+        t_global = scalars_ref[2 + pl.num_programs(0) + t] + scalars_ref[1]
+    else:
+        t_global = t + scalars_ref[1]
+    count_t = scalars_ref[2 + t]
+
+    @pl.when(c == 0)
+    def _():
+        trun[:] = jnp.ones(trun.shape, jnp.float32)
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    t_entry = trun[0:1, :]
+    tentry_ref[0, pl.ds(c, 1), :] = t_entry
+    active = (c * G_CHUNK < count_t) & (jnp.max(t_entry) >= T_EPS)
+
+    @pl.when(active)
+    def _():
+        px, py = _pixel_coords(t_global, tiles_x)
+        gt = g_ref[0]  # (G, ROWS_GM) — layout matches, no transpose
+        alpha, *_ = _alphas(gt, px, py)
+        alpha = alpha * _row_mask(count_t, c, alpha.shape[0])
+        lg = jnp.log1p(-alpha)
+        cum = _cumsum_sublanes(lg)
+        t_in = t_entry * jnp.exp(cum)
+        one_m = 1.0 - alpha
+        t_exc = t_in / one_m
+        w = alpha * t_exc * (t_in >= T_EPS)
+        v = _vg_gm(gt)  # (G, 8)
+        out_ref[0] += _dot_f32(v, w, (((0,), (0,)), ((), ())))  # (8, P)
+        trun[0:1, :] = t_entry * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+
+
+def _bwd_kernel_gm(scalars_ref, g_ref, tentry_ref, dout_ref, dg_ref, suffix, *, gb, permuted=False):
+    t = pl.program_id(0)
+    crev = pl.program_id(1)
+
+    @pl.when(crev == 0)
+    def _():
+        suffix[:] = jnp.zeros(suffix.shape, jnp.float32)
+
+    tiles_x = scalars_ref[0]
+    if permuted:
+        t_global = scalars_ref[2 + pl.num_programs(0) + t] + scalars_ref[1]
+    else:
+        t_global = t + scalars_ref[1]
+    count_t = scalars_ref[2 + t]
+    C2 = pl.num_programs(1)
+    c = C2 - 1 - crev
+    t_entry = tentry_ref[0, pl.ds(c * (gb // G_CHUNK), 1), :]
+    active = (c * gb < count_t) & (jnp.max(t_entry) >= T_EPS)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dg_ref[:] = jnp.zeros(dg_ref.shape, jnp.float32)
+
+    @pl.when(active)
+    def _():
+        _bwd_body_gm(g_ref, dout_ref, dg_ref, suffix, t_global, tiles_x, t_entry, count_t, c * gb)
+
+
+def _bwd_body_gm(g_ref, dout_ref, dg_ref, suffix, t, tiles_x, t_entry, count_t, row0):
+    px, py = _pixel_coords(t, tiles_x)
+    gt = g_ref[0]  # (G, ROWS_GM)
+    alpha, raw, power, dx, dy, ca, cb, cc, op = _alphas(gt, px, py)
+    ok = _row_mask(count_t - row0, 0, alpha.shape[0])
+    alpha = alpha * ok
+    raw = raw * ok  # masked rows fail raw >= ALPHA_MIN -> zero grads
+    dC = dout_ref[0]  # (8, P)
+
+    lg = jnp.log1p(-alpha)
+    cum = _cumsum_sublanes(lg)
+    t_in = t_entry * jnp.exp(cum)
+    one_m = 1.0 - alpha
+    inv_onem = 1.0 / one_m
+    incl = (t_in >= T_EPS).astype(jnp.float32)
+    te_i = t_in * inv_onem * incl
+    w = alpha * te_i
+
+    v = _vg_gm(gt)  # (G, 8)
+    vdc = jax.lax.dot_general(v, dC, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (G, P)
+    s = w * vdc
+    # grad wrt value columns, directly in (G, 8) orientation: w @ dC^T
+    dv = jax.lax.dot_general(w, dC, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    s_incl = _cumsum_sublanes(s)
+    G = alpha.shape[0]
+    s_total = s_incl[G - 1 : G, :]
+    suf = (s_total - s_incl) + suffix[0:1, :]
+
+    dalpha = te_i * vdc - suf * inv_onem
+    pass_mask = ((raw >= ALPHA_MIN) & (raw < ALPHA_MAX)).astype(jnp.float32)
+    draw = dalpha * pass_mask
+    dpower = draw * raw
+
+    ones1P = jnp.ones((1, P_TILE), jnp.float32)
+
+    def rowsum_col(x):  # (G, P) -> (G, 1), directly in output-column layout
+        return jax.lax.dot_general(
+            x, ones1P, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    # same five-raw-moment reduction as _bwd_body (per-gaussian conic factors
+    # distribute out of the pixel sums), assembled column-wise
+    dpx = dx * dpower
+    dpy = dy * dpower
+    m_x = rowsum_col(dpx)
+    m_y = rowsum_col(dpy)
+    m_xx = rowsum_col(dx * dpx)
+    m_xy = rowsum_col(dy * dpx)
+    m_yy = rowsum_col(dy * dpy)
+    m_p = rowsum_col(dpower)
+    inv_op = 1.0 / jnp.maximum(op, 1e-12)  # (G, 1)
+    dg_ref[0] = jnp.concatenate(
+        [
+            ca * m_x + cb * m_y,
+            cc * m_y + cb * m_x,
+            -0.5 * m_xx,
+            -m_xy,
+            -0.5 * m_yy,
+            m_p * inv_op,
+            dv[:, 0:4],
+        ],
+        axis=1,
+    )  # (G, ROWS_GM)
+
+    suffix[0:1, :] = suffix[0:1, :] + s_total
+
+
+def _make_fwd_gm(T, C, interpret, permuted=False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, G_CHUNK, ROWS_GM), lambda t, c, *_: (t, c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_fwd_kernel_gm, permuted=permuted),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, OUT_ROWS, P_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, P_TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _make_bwd_gm(T, C, interpret, gb=None, permuted=False):
+    gb = gb or BWD_CHUNK
+    MAX = C * G_CHUNK
+    if MAX % gb != 0:
+        gb = G_CHUNK
+    C2 = MAX // gb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, C2),
+        in_specs=[
+            pl.BlockSpec((1, gb, ROWS_GM), lambda t, c, *_: (t, C2 - 1 - c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_ROWS, P_TILE), lambda t, c, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gb, ROWS_GM), lambda t, c, *_: (t, C2 - 1 - c, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P_TILE), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_bwd_kernel_gm, gb=gb, permuted=permuted),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, G_CHUNK * C, ROWS_GM), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_blend_gm(g_packed, counts, tids_unused, tiles_x: int, interpret: bool = False):
+    """Gaussian-major blend. g_packed: (T, MAX, ROWS_GM) — the raw row-gather
+    output, no padding/transpose; counts: (T,) true per-tile hit counts
+    (chunk predication + in-kernel row masking)."""
+    out, _ = _pb_gm_fwd(g_packed, counts, tids_unused, tiles_x, interpret)
+    return out
+
+
+def _pb_gm_fwd(g_packed, counts, tids_unused, tiles_x, interpret):
+    T, MAX, R = g_packed.shape
+    assert R == ROWS_GM and MAX % G_CHUNK == 0
+    C = MAX // G_CHUNK
+    out, tentry = _make_fwd_gm(T, C, interpret)(
+        _scalars(counts, tiles_x, 0), g_packed
+    )
+    return out, (g_packed, counts, tentry)
+
+
+def _pb_gm_bwd(tiles_x, interpret, res, dout):
+    g_packed, counts, tentry = res
+    T, MAX, R = g_packed.shape
+    C = MAX // G_CHUNK
+    (dg,) = _make_bwd_gm(T, C, interpret)(
+        _scalars(counts, tiles_x, 0), g_packed, tentry, dout
+    )
+    return (dg, None, None)
+
+
+pallas_blend_gm.defvjp(_pb_gm_fwd, _pb_gm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_blend_permuted_gm(g_packed, counts, tids, tiles_x: int, interpret: bool = False):
+    """Gaussian-major blend for the laddered-window path (count-sorted tile
+    rows; real tile ids via the scalar block). See pallas_blend_permuted."""
+    out, _ = _pb_perm_gm_fwd(g_packed, counts, tids, tiles_x, interpret)
+    return out
+
+
+def _pb_perm_gm_fwd(g_packed, counts, tids, tiles_x, interpret):
+    T, MAX, R = g_packed.shape
+    assert R == ROWS_GM and MAX % G_CHUNK == 0
+    C = MAX // G_CHUNK
+    out, tentry = _make_fwd_gm(T, C, interpret, permuted=True)(
+        _perm_scalars(counts, tids, tiles_x), g_packed
+    )
+    return out, (g_packed, counts, tids, tentry)
+
+
+def _pb_perm_gm_bwd(tiles_x, interpret, res, dout):
+    g_packed, counts, tids, tentry = res
+    T, MAX, R = g_packed.shape
+    C = MAX // G_CHUNK
+    (dg,) = _make_bwd_gm(T, C, interpret, permuted=True)(
+        _perm_scalars(counts, tids, tiles_x), g_packed, tentry, dout
+    )
+    return (dg, None, None)
+
+
+pallas_blend_permuted_gm.defvjp(_pb_perm_gm_fwd, _pb_perm_gm_bwd)
 
 
 def _make_fwd(T, C, tiles_x, interpret, permuted=False):

@@ -296,7 +296,12 @@ def rasterize_tiled(
         if blend != "pallas" or bins.starts is None:
             raise ValueError("tile_ladder requires blend='pallas' and binning='sort'")
         from riggs_tpu.render.binning import _extract_windows
-        from riggs_tpu.render.pallas_blend import PACK_ROWS, pallas_blend_permuted
+        from riggs_tpu.render.pallas_blend import (
+            GM_LAYOUT,
+            PACK_ROWS,
+            pallas_blend_permuted,
+            pallas_blend_permuted_gm,
+        )
 
         T = bins.tiles_x * bins.tiles_y
         if sum(n for n, _ in tile_ladder) != T:
@@ -324,20 +329,33 @@ def rasterize_tiled(
             cap = -(-cap // G_CHUNK) * G_CHUNK
             starts_b = bins.starts[tids_b]
             win = _extract_windows(gid_pad, starts_b, cap)
-            valid_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < jnp.minimum(counts_b, cap)[:, None]
-            idx_b = jnp.where(valid_b, win, 0)
-            g_b = packed[idx_b]  # (nb, cap, 10)
-            g_b = g_b.at[..., 5].set(jnp.where(valid_b, g_b[..., 5], 0.0))
-            gp = jnp.concatenate(
-                [g_b, jnp.zeros(g_b.shape[:2] + (PACK_ROWS - g_b.shape[-1],), g_b.dtype)],
-                axis=-1,
-            )
-            gp = jnp.transpose(gp, (0, 2, 1))  # (nb, 16, cap)
-            outs.append(
-                pallas_blend_permuted(
-                    gp, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
+            if GM_LAYOUT:
+                # gaussian-major: feed the raw row-gather output straight to
+                # the kernel — rows past the true count are masked IN-KERNEL
+                # (their window slots alias neighboring tiles' instances,
+                # which are valid gather rows, and their grads are zero, so
+                # the bwd scatter-add is a no-op for them)
+                g_b = packed[win]  # (nb, cap, 10)
+                outs.append(
+                    pallas_blend_permuted_gm(
+                        g_b, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
+                    )
                 )
-            )
+            else:
+                valid_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < jnp.minimum(counts_b, cap)[:, None]
+                idx_b = jnp.where(valid_b, win, 0)
+                g_b = packed[idx_b]  # (nb, cap, 10)
+                g_b = g_b.at[..., 5].set(jnp.where(valid_b, g_b[..., 5], 0.0))
+                gp = jnp.concatenate(
+                    [g_b, jnp.zeros(g_b.shape[:2] + (PACK_ROWS - g_b.shape[-1],), g_b.dtype)],
+                    axis=-1,
+                )
+                gp = jnp.transpose(gp, (0, 2, 1))  # (nb, 16, cap)
+                outs.append(
+                    pallas_blend_permuted(
+                        gp, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
+                    )
+                )
             ladder_overflow += jnp.sum(jnp.maximum(counts_b - cap, 0))
             r0 += nb
         out = jnp.concatenate(outs, axis=0)[inv]  # (T, 8, P) back in tile order

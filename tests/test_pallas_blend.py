@@ -66,7 +66,11 @@ class TestLadderedWindows:
     smaller windows, shrinking the row-op-bound instance gather/scatter; the
     permuted-tile kernel must reproduce the dense path exactly."""
 
-    def test_ladder_matches_dense_fwd_bwd(self, rng):
+    @pytest.mark.parametrize("gm", [False, True], ids=["cmajor", "gmajor"])
+    def test_ladder_matches_dense_fwd_bwd(self, rng, gm, monkeypatch):
+        import riggs_tpu.render.pallas_blend as PB
+
+        monkeypatch.setattr(PB, "GM_LAYOUT", gm)
         big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
         means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.4)
         bg = jnp.zeros(3)
@@ -90,7 +94,9 @@ class TestLadderedWindows:
         np.testing.assert_allclose(np.asarray(a["depth"]), np.asarray(b["depth"]), atol=2e-4)
         np.testing.assert_allclose(np.asarray(a["alpha"]), np.asarray(b["alpha"]), atol=2e-5)
         for x, y in zip(ga, gb):
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-5)
+            # rtol absorbs fp reorder noise on large-magnitude grads (the two
+            # paths sum per-tile contributions in different bucket orders)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=3e-5, rtol=1e-5)
 
     def test_ladder_truncation_counted(self, rng):
         big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
