@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--n_frames", type=int, default=200)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--synthetic", action="store_true", help="rebuild the synthetic scene for cameras/gt")
+    ap.add_argument("--lpips_backbone", default=None, help="torch backbone ckpt (see scripts/make_lpips_ckpt.py)")
+    ap.add_argument("--lpips_heads", default=None, help="torch lpips linear-head ckpt")
+    ap.add_argument("--lpips_net", choices=["alex", "vgg"], default="alex")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -112,9 +115,18 @@ def main():
     out_dir = model_path / "synthesis" / args.mode
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    lpips_model = None
+    if args.lpips_backbone and args.lpips_heads:
+        from riggs_tpu.eval.metrics import LpipsModel
+
+        lpips_model = LpipsModel.from_torch_file(
+            args.lpips_backbone, args.lpips_heads, net=args.lpips_net
+        )
+
     if args.mode == "render":
         rows, means, images = render_test_set(
-            state.gs, state.skel, scene.test_frames, max_per_tile=cfg.pipe.max_per_tile
+            state.gs, state.skel, scene.test_frames, max_per_tile=cfg.pipe.max_per_tile,
+            lpips_model=lpips_model,
         )
         (out_dir / "numerical_res.txt").write_text(format_numerical_res(rows, means))
         save_video(out_dir / "video.mp4", images)

@@ -1,5 +1,6 @@
 """Tests: PLY round-trip, checkpointing, OBJ, thinning, MS-SSIM/LPIPS."""
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -213,3 +214,58 @@ class TestLpipsTorchImport:
             np.testing.assert_array_equal(np.asarray(ca["w"]), np.asarray(cb["w"]))
         for la, lb in zip(a.lins, b.lins):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+class TestLpipsWorkflowEndToEnd:
+    """The full LPIPS file workflow (VERDICT r2 item 7): synthetic checkpoint
+    files written in the REAL on-disk layouts (torchvision backbone state
+    dict + lpips-package lin<i>.model.1.weight heads), imported via
+    from_torch_file, and driven through the scripts/metrics.py CLI to a
+    results.json carrying the lpips column."""
+
+    def test_ckpt_files_to_results_json(self, tmp_path, rng):
+        import json
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        from PIL import Image
+
+        repo = Path(__file__).parent.parent
+        _sys.path.insert(0, str(repo / "scripts"))
+        from make_lpips_ckpt import write_ckpts
+
+        bpath, hpath = write_ckpts(tmp_path / "ckpt", net="alex", seed=0)
+
+        # the importer must accept the files (real key layout) directly
+        from riggs_tpu.eval.metrics import LpipsModel
+
+        model = LpipsModel.from_torch_file(str(bpath), str(hpath), net="alex")
+        a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+        assert float(model(jnp.asarray(a), jnp.asarray(a))) < 1e-6
+
+        # reference results layout: <model>/test/ours_N/{renders,gt}
+        mdir = tmp_path / "model"
+        rdir = mdir / "test" / "ours_100" / "renders"
+        gdir = mdir / "test" / "ours_100" / "gt"
+        rdir.mkdir(parents=True)
+        gdir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+            noisy = np.clip(img + rng.normal(scale=12, size=img.shape), 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(rdir / f"{i:05d}.png")
+            Image.fromarray(noisy).save(gdir / f"{i:05d}.png")
+        proc = subprocess.run(
+            [
+                _sys.executable, str(repo / "scripts" / "metrics.py"),
+                "-m", str(mdir), "--platform", "cpu",
+                "--lpips_backbone", str(bpath), "--lpips_heads", str(hpath),
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS=""),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        res = json.loads((mdir / "results.json").read_text())
+        row = res["ours_100"]
+        assert set(row) >= {"psnr", "ssim", "ms_ssim", "lpips_alex"}, row
+        assert row["lpips_alex"] > 0.0  # noisy pair -> nonzero distance
