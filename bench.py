@@ -68,6 +68,12 @@ def main():
         help="single int32 (tile*N + depth-rank) instance key (binning.SORT_PACKED)",
     )
     ap.add_argument(
+        "--struct-bwd", action="store_true",
+        help="structural window-gather backward (tiles.STRUCT_BWD): window "
+        "grads scatter collision-free to enumeration cells instead of XLA's "
+        "scatter-add over gaussian ids",
+    )
+    ap.add_argument(
         "--gm", action="store_true",
         help="gaussian-major ladder kernels (pallas_blend.GM_LAYOUT): no "
         "pad/transpose between the row gather and the blend",
@@ -110,6 +116,10 @@ def main():
         import riggs_tpu.render.pallas_blend as _pb
 
         _pb.GM_LAYOUT = True
+    if args.struct_bwd:
+        import riggs_tpu.render.tiles as _tl
+
+        _tl.STRUCT_BWD = True
 
     cam = make_camera(
         np.eye(3), np.array([0, 0, 2.5]), args.size, args.size, fovx=0.9, fovy=0.9

@@ -112,6 +112,7 @@ def train_stage1_dp(
 
     sampler = FrameSampler(frames, rng)
     history = []
+    densified_at = -B - 1  # last iter a densify/prune changed the cloud
 
     def _dev_lrs(d):
         return {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
@@ -167,14 +168,20 @@ def train_stage1_dp(
             ),
         )
         steps_done = it // B
-        if ladder_pol is not None and (
-            ladder_pol.ladder is None
-            or steps_done % max(cfg.pipe.ladder_check_every // B, 1) == 0
-        ):
-            if ladder_pol.observe(
-                metrics["tile_counts"], int(metrics["overflow_tiles"])
+        if ladder_pol is not None:
+            # overflow is checked EVERY step (one scalar sync): a stale ladder
+            # must never truncate renders for longer than the step that
+            # detects it (ADVICE r3 #1). tile_counts (T,) transfers only when
+            # a refit is actually considered.
+            overflow = int(metrics["overflow_tiles"])
+            if (
+                ladder_pol.ladder is None
+                or overflow > 0
+                or steps_done % max(cfg.pipe.ladder_check_every // B, 1) == 0
+                or it == densified_at + B
             ):
-                step = build_step()
+                if ladder_pol.observe(metrics["tile_counts"], overflow):
+                    step = build_step()
         node_dp = (
             o.node_enable_densify_prune
             and o.node_densify_from_iter < it < o.node_densify_until_iter
@@ -183,6 +190,7 @@ def train_stage1_dp(
         ) or (it <= o.node_force_densify_prune_step < it + B)
         if node_dp:
             state = node_densify_prune(state, cfg, o.densify_grad_threshold)
+            densified_at = it
         if (
             o.densify_from_iter < it < o.densify_until_iter
             and steps_done % max(o.densification_interval // B, 1) == 0
@@ -196,6 +204,7 @@ def train_stage1_dp(
                 percent_dense=o.percent_dense,
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+            densified_at = it
         if it > 0 and steps_done % max(o.opacity_reset_interval // B, 1) == 0:
             gs = G.reset_opacity(state.gs)
             opt = O.AdamState(

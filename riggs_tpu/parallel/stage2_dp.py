@@ -81,6 +81,7 @@ def train_stage2_dp(
     pre_d_joints = np.asarray(info.d_joints)
     history = []
     best_psnr = -1.0
+    densified_at = -B - 1  # last iter a densify step changed the cloud
     use_chamfer = (
         frames[0].thinned is not None and o.lambda_deformed_node_prjection > 1e-8
     )
@@ -175,14 +176,20 @@ def train_stage2_dp(
                 enable_sm=enable_sm,
             ),
         )
-        if ladder_pol is not None and (
-            ladder_pol.ladder is None
-            or (it // B) % max(cfg.pipe.ladder_check_every // B, 1) == 0
-        ):
-            if ladder_pol.observe(
-                metrics["tile_counts"], int(metrics["overflow_tiles"])
+        if ladder_pol is not None:
+            # overflow is checked EVERY step (one scalar sync): a stale ladder
+            # must never truncate renders for longer than the step that
+            # detects it (ADVICE r3 #1). tile_counts (T,) transfers only when
+            # a refit is actually considered.
+            overflow = int(metrics["overflow_tiles"])
+            if (
+                ladder_pol.ladder is None
+                or overflow > 0
+                or (it // B) % max(cfg.pipe.ladder_check_every // B, 1) == 0
+                or it == densified_at + B
             ):
-                step = build_step()
+                if ladder_pol.observe(metrics["tile_counts"], overflow):
+                    step = build_step()
         if (
             not warm
             and o.gs_densification_iterations < it < o.densify_until_iter
@@ -198,6 +205,7 @@ def train_stage2_dp(
                 percent_dense=o.percent_dense,
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
+            densified_at = it
         if log_every and (it // B) % max(log_every // B, 1) == 0:
             m = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
             history.append((it, m))

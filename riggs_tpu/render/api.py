@@ -145,7 +145,10 @@ def render(
         "overflow_rect": out.get("overflow_rect", jnp.zeros((), jnp.int32)),
         "overflow_budget": out.get("overflow_budget", jnp.zeros((), jnp.int32)),
         "max_count": out.get("max_count", jnp.zeros((), jnp.int32)),
-        "tile_counts": out.get("tile_counts"),  # (T,) — ladder probing input
+        # (T,) ladder probing input; the oracle renderer has no tiles, so it
+        # reports an empty count vector rather than None (train loops put this
+        # into metrics unconditionally — ADVICE r3 #4)
+        "tile_counts": out.get("tile_counts", jnp.zeros((1,), jnp.int32)),
     }
 
 

@@ -96,6 +96,25 @@ class GridInfo(NamedTuple):
     # crosses the gather_grid custom_vjp boundary; callers pass K statically.
 
 
+class EnumInfo(NamedTuple):
+    """By-product of ``bin_gaussians_sorted`` (``want_iid=True``): every
+    sorted instance carries its slot in the concatenated enumeration layout
+    (pass-1 (K, N) grid, then the mid/giant tier (K2, cap) grids), so the
+    window-gather backward can scatter window gradients to their unique
+    enumeration cells — a collision-free scatter — and segment-reduce each
+    tier, instead of XLA's generic scatter-add over gaussian ids (the
+    measured bwd hotspot at the 800p bench).
+
+    Static segment sizes ((K1, N), (K2m, mid_cap), (K2g, giant_cap)) are
+    deliberately NOT fields (python-int leaves would be traced crossing the
+    gather_ladder custom_vjp boundary); callers pass them statically.
+    """
+
+    iid_sorted: jax.Array  # (M,) enumeration slot of each sorted instance
+    gsel_mid: jax.Array | None  # (mid_cap,) gaussian per mid slot; N sentinel
+    gsel_giant: jax.Array | None  # (giant_cap,) gaussian per giant slot
+
+
 class RunsInfo(NamedTuple):
     """Aligned-runs instance layout (``bin_gaussians_runs``): each tile's
     depth-ordered instance run is padded to a multiple of the kernel chunk
@@ -120,6 +139,8 @@ class TileBins(NamedTuple):
     overflow_budget: jax.Array = None  # () instance-budget slots dropped
     starts: jax.Array = None  # (T,) window start per tile in gid_sorted (sort binner)
     gid_sorted: jax.Array = None  # (M,) tile-grouped depth-ordered gaussian ids
+    enum: EnumInfo = None  # set by bin_gaussians_sorted(want_iid=True)
+    enum_sizes: tuple = None  # static ((K1,N),(K2m,mid_cap),(K2g,giant_cap))
 
     def gather(self, packed: jax.Array) -> jax.Array:
         """Per-tile rows of ``packed`` (N, D) -> (T, MAX, D)."""
@@ -242,6 +263,7 @@ def bin_gaussians_sorted(
     giant_side: int = 12,
     mid_cap: int = 0,
     mid_side: int = 4,
+    want_iid: bool = False,
 ) -> TileBins:
     """Fast binning via one global (tile, depth) instance sort.
 
@@ -348,13 +370,15 @@ def bin_gaussians_sorted(
             jnp.concatenate([gid, gid2]),
             rect_overflow_cells,
             handled,
+            gsel.astype(jnp.int32),  # (cap,) gaussian per tier slot; N sentinel
         )
 
     lo = side
     mid_handled = None
+    gsel_mid = gsel_giant = None
     if mid_cap > 0 and mid_side > side:
         sel = proj.mask & ((w_rect > side) | (h_rect > side))
-        tile_id, depth, gid, rect_overflow_cells, mid_handled = extra_tier(
+        tile_id, depth, gid, rect_overflow_cells, mid_handled, gsel_mid = extra_tier(
             sel, mid_cap, side, mid_side, tile_id, depth, gid, rect_overflow_cells
         )
         lo = mid_side
@@ -365,7 +389,7 @@ def bin_gaussians_sorted(
             # ring; skip it here so the overflow diagnostic keeps counting
             # those cells (escalation will re-render with bigger caps)
             sel &= mid_handled
-        tile_id, depth, gid, rect_overflow_cells, _ = extra_tier(
+        tile_id, depth, gid, rect_overflow_cells, _, gsel_giant = extra_tier(
             sel, giant_cap, lo, giant_side, tile_id, depth, gid, rect_overflow_cells
         )
 
@@ -380,6 +404,13 @@ def bin_gaussians_sorted(
                 "falling back to the 3-operand 2-key sort",
                 stacklevel=2,
             )
+    iid = None
+    if want_iid:
+        # enumeration slot per instance: the concatenation order above IS the
+        # (pass-1 grid, mid grid, giant grid) layout, so slots are just the
+        # positions. Carried through the sort as one extra payload so the
+        # window-gather backward can scatter collision-free (EnumInfo).
+        iid = jnp.arange(tile_id.shape[0], dtype=jnp.int32)
     if SORT_PACKED and (T + 1) * N < 2**31:
         # 2-operand single-key sort: depth-rank the N gaussians once (cheap vs
         # the instance count after tiered enumeration), then pack
@@ -391,8 +422,15 @@ def bin_gaussians_sorted(
             jnp.arange(N, dtype=jnp.int32)
         )
         key = tile_id * N + drank_of_gid[gid]
-        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
+        if want_iid:
+            key_sorted, gid_sorted, iid_sorted = jax.lax.sort((key, gid, iid), num_keys=1)
+        else:
+            key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
         tile_sorted = None
+    elif want_iid:
+        tile_sorted, _, gid_sorted, iid_sorted = jax.lax.sort(
+            (tile_id, depth, gid, iid), num_keys=2
+        )
     else:
         tile_sorted, _, gid_sorted = jax.lax.sort(
             (tile_id, depth, gid), num_keys=2
@@ -427,10 +465,21 @@ def bin_gaussians_sorted(
     # rect-overflow diagnostic (count stays the true per-tile hit count,
     # which also drives kernel chunk predication)
     rect_overflow = jnp.sum(rect_overflow_cells)
+    enum = None
+    enum_sizes = None
+    if want_iid:
+        enum = EnumInfo(
+            iid_sorted=iid_sorted, gsel_mid=gsel_mid, gsel_giant=gsel_giant
+        )
+        enum_sizes = (
+            (K, N),
+            (mid_side * mid_side, mid_cap) if gsel_mid is not None else (0, 0),
+            (giant_side * giant_side, giant_cap) if gsel_giant is not None else (0, 0),
+        )
     return TileBins(
         idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n,
         overflow=rect_overflow.astype(jnp.int32),
-        starts=starts, gid_sorted=gid_sorted,
+        starts=starts, gid_sorted=gid_sorted, enum=enum, enum_sizes=enum_sizes,
     )
 
 

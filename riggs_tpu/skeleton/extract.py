@@ -229,6 +229,16 @@ def _segment_dist(a: np.ndarray, b: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return np.sqrt(((s - pts) ** 2).sum(-1) + 1e-6)
 
 
+def _span_max_dev(all_points: np.ndarray, path, a: int, b: int) -> float:
+    """Max mean-over-frames deviation of path[a+1:b] from segment [a, b]."""
+    if b - a < 2:
+        return 0.0
+    pa = all_points[:, path[a] : path[a] + 1]
+    pb = all_points[:, path[b] : path[b] + 1]
+    pab = all_points[:, path[a + 1 : b]]
+    return float(_segment_dist(pa, pb, pab).mean(0).max())
+
+
 def compute_insert_points(path, all_points: np.ndarray, dist_thres: float, num_thres: int):
     """Recursive farthest-point polyline simplification of one chain
     (extract_skeleton_utils.py:122-161). Returns local-index edge pairs."""
@@ -259,6 +269,26 @@ def compute_insert_points(path, all_points: np.ndarray, dist_thres: float, num_t
             edges_idxs.append([a, b])
             continue
         mid = int(np.argmax(score)) + a + 1
+        # Feasibility repair (deliberate divergence from the reference,
+        # which recurses unconditionally on the score-chosen split): when
+        # that split leaves a half at/above threshold but SOME single split
+        # satisfies both halves, take the best-scoring feasible split — one
+        # joint instead of two on borderline chains. Found via the r3 red
+        # fixture: the 3-joint stick figure's learned chain had a feasible
+        # single split (max dev 28% under threshold) while the greedy choice
+        # left its far half 0.2% over, inserting a 4th joint.
+        if (
+            _span_max_dev(all_points, path, a, mid) >= dist_thres
+            or _span_max_dev(all_points, path, mid, b) >= dist_thres
+        ):
+            feas = [
+                m
+                for m in range(a + 1, b)
+                if _span_max_dev(all_points, path, a, m) < dist_thres
+                and _span_max_dev(all_points, path, m, b) < dist_thres
+            ]
+            if feas:
+                mid = max(feas, key=lambda m: float(score[m - a - 1]))
         q.append([a, mid])
         q.append([mid, b])
     return edges_idxs

@@ -770,14 +770,18 @@ def train_stage1(
             isotropic=cfg.model.use_isotropic_gs,
             tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
-        if ladder_pol is not None and (
-            ladder_pol.ladder is None
-            or it % cfg.pipe.ladder_check_every == 0
-            or it == densified_at + 1
-        ):
-            ladder_pol.observe(
-                metrics["tile_counts"], int(metrics["overflow_tiles"])
-            )
+        if ladder_pol is not None:
+            # overflow is checked EVERY step (one scalar sync): a stale ladder
+            # must never truncate renders for longer than the step that
+            # detects it (ADVICE r3 #1)
+            overflow = int(metrics["overflow_tiles"])
+            if (
+                ladder_pol.ladder is None
+                or overflow > 0
+                or it % cfg.pipe.ladder_check_every == 0
+                or it == densified_at + 1
+            ):
+                ladder_pol.observe(metrics["tile_counts"], overflow)
         node_dp = (
             o.node_enable_densify_prune
             and o.node_densify_from_iter < it < o.node_densify_until_iter

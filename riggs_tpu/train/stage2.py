@@ -530,14 +530,18 @@ def train_stage2(
             isotropic=cfg.model.use_isotropic_gs,
             tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
-        if ladder_pol is not None and (
-            ladder_pol.ladder is None
-            or it % cfg.pipe.ladder_check_every == 0
-            or it == densified_at + 1
-        ):
-            ladder_pol.observe(
-                metrics["tile_counts"], int(metrics["overflow_tiles"])
-            )
+        if ladder_pol is not None:
+            # overflow is checked EVERY step (one scalar sync): a stale ladder
+            # must never truncate renders for longer than the step that
+            # detects it (ADVICE r3 #1)
+            overflow = int(metrics["overflow_tiles"])
+            if (
+                ladder_pol.ladder is None
+                or overflow > 0
+                or it % cfg.pipe.ladder_check_every == 0
+                or it == densified_at + 1
+            ):
+                ladder_pol.observe(metrics["tile_counts"], overflow)
         if (
             not warm
             and o.gs_densification_iterations < it < o.densify_until_iter

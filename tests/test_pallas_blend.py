@@ -154,3 +154,67 @@ class TestLadderedWindows:
         assert int(out["overflow_tiles"]) == 0
         np.testing.assert_allclose(np.asarray(probe["image"]), np.asarray(out["image"]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(probe["alpha"]), np.asarray(out["alpha"]), atol=2e-5)
+
+
+class TestStructBwd:
+    """gather_windows_struct (tiles.STRUCT_BWD): window grads scatter
+    collision-free to their unique enumeration cells (iids carried through
+    the sort) instead of XLA's scatter-add over gaussian ids. Must be
+    grad-exact vs the plain gather on every path (ladder / plain windows /
+    all three enumeration tiers)."""
+
+    def _scene_with_tiers(self, rng):
+        """Mixed scene: small splats (pass-1 2x2), mid splats (> 2x2 rect),
+        and two giants (> 4x4 rect) so every enumeration tier is populated."""
+        means, colors, opacity, scales, rots = make_scene(rng, n=300, seed_extent=0.4)
+        scales = scales.at[:6].set(0.25)  # giants
+        scales = scales.at[6:30].set(0.08)  # mid tier
+        return means, colors, opacity, scales, rots
+
+    def _grads(self, big, scene, kw, struct, monkeypatch):
+        import riggs_tpu.render.tiles as TL
+
+        monkeypatch.setattr(TL, "STRUCT_BWD", struct)
+        means, colors, opacity, scales, rots = scene
+        bg = jnp.full(3, 0.15)
+
+        def loss(m, c, o, s):
+            out = rasterize_tiled(big, m, c, o, s, rots, bg, blend="pallas", **kw)
+            return (
+                jnp.sum(out["image"] * jnp.sin(1.0 + out["image"]))
+                + 0.1 * jnp.sum(out["depth"])
+                + 0.1 * jnp.sum(out["alpha"]),
+                out,
+            )
+
+        (l, out), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True)(
+            means, colors, opacity, scales
+        )
+        return l, out, g
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(max_per_tile=512),
+            dict(max_per_tile=512, max_tiles_per_gaussian=4, mid_cap=64, mid_side=4),
+            dict(
+                max_per_tile=512,
+                max_tiles_per_gaussian=4,
+                mid_cap=64,
+                mid_side=4,
+                tile_ladder=((4, 512), (4, 256), (8, 128)),
+            ),
+        ],
+        ids=["plain", "tiers", "tiers+ladder"],
+    )
+    def test_matches_plain_gather(self, rng, kw, monkeypatch):
+        big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
+        scene = self._scene_with_tiers(rng)
+        la, a, ga = self._grads(big, scene, kw, False, monkeypatch)
+        lb, b, gb = self._grads(big, scene, kw, True, monkeypatch)
+        np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]), atol=2e-6)
+        for x, y, name in zip(ga, gb, ["means", "colors", "opacity", "scales"]):
+            # identical contributions, different accumulation orders
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=3e-5, rtol=1e-5, err_msg=name
+            )

@@ -218,3 +218,29 @@ class TestTopologies:
         leaves = set(range(len(joints))) - set(int(p) for p in parents[1:])
         assert len(leaves) >= 4  # two arms + two legs (+ head) remain
         assert len(joints) >= 7
+
+
+class TestInsertPointRepair:
+    def test_feasibility_repair_saves_a_joint(self):
+        """When the score-chosen split leaves a half over threshold but a
+        feasible single split exists, the repair must take it (deliberate
+        divergence from the reference's unconditional greedy recursion —
+        found via the r3 J=4-on-the-3-joint-fixture regression)."""
+        from riggs_tpu.skeleton.extract import _span_max_dev, compute_insert_points
+
+        n = 11
+        x = np.arange(n, dtype=np.float32)
+        y = np.minimum(x, 10 - x) * 0.5  # tent: true bend (apex) at node 5
+        z = np.zeros(n, np.float32)
+        z[9] = 2.25  # near-endpoint spike: wins the d_end-penalized score
+        pts = np.stack([x, y, z], -1)[None]  # (1 frame, n, 3)
+        path = list(range(n))
+        thres = 2.3
+        # the fixture is adversarial by construction: greedy's split (node 9)
+        # leaves [0, 9] over threshold while splitting at the bend satisfies
+        # both halves
+        assert _span_max_dev(pts, path, 0, 9) >= thres
+        assert _span_max_dev(pts, path, 0, 5) < thres
+        assert _span_max_dev(pts, path, 5, 10) < thres
+        edges = compute_insert_points(path, pts, thres, 5)
+        assert sorted(edges) == [[0, 5], [5, 10]], edges
