@@ -398,6 +398,94 @@ def simplify_tree(
     return new_parents
 
 
+def dissolve_degree2_joints(all_points, tree_parents, joint_parents, dist_thres):
+    """Remove redundant degree-2 joints — including ACROSS junctions, which
+    per-path simplification structurally cannot merge (``simplify_tree``
+    splits chains at key points and keeps every junction). A joint j with
+    exactly two neighbors u, w is dissolved when every pruned-tree node on
+    the u..w chain stays within ``dist_thres`` (trajectory-mean) of segment
+    (u, w). Together with the insert-point feasibility repair this makes the
+    returned joint set MINIMAL under the deviation semantics: no single
+    joint can be removed without violating the threshold.
+
+    No reference counterpart: the reference keeps every MST junction; on
+    noisy learned chains the junction can sit mid-bone, leaving a spurious
+    elbow (the r3 J=4-on-the-3-joint-fixture finding).
+
+    all_points: (F, K, 3) trajectories; tree_parents: pruned-tree parents
+    (-2 removed); joint_parents: simplified-tree parents (-2 removed).
+    Returns new joint parents (any orientation; callers BFS-reorder).
+    """
+    jp = np.asarray(joint_parents).copy()
+    n = len(jp)
+    nb = {i: set() for i in range(n) if jp[i] > -2}
+    for i in list(nb):
+        p = int(jp[i])
+        if p >= 0:
+            nb[i].add(p)
+            nb[p].add(i)
+    pn = [[] for _ in range(n)]
+    for i in range(n):
+        p = int(tree_parents[i])
+        if p >= 0:
+            pn[i].append(p)
+            pn[p].append(i)
+
+    def chain(u, w):
+        """The unique pruned-tree path u..w (passes through the joint between
+        them: joint edges are pruned-tree sub-chains)."""
+        prev = {u: None}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            if x == w:
+                break
+            for y in pn[x]:
+                if y not in prev:
+                    prev[y] = x
+                    q.append(y)
+        path = [w]
+        while path[-1] != u:
+            path.append(prev[path[-1]])
+        return path[::-1]
+
+    changed = True
+    while changed:
+        changed = False
+        for j in sorted(nb):
+            if len(nb[j]) != 2:
+                continue
+            u, w = sorted(nb[j])
+            inter = chain(u, w)[1:-1]  # always contains j itself
+            pa = all_points[:, u : u + 1]
+            pb = all_points[:, w : w + 1]
+            dev = float(_segment_dist(pa, pb, all_points[:, inter]).mean(0).max())
+            if dev < dist_thres:
+                nb[u].discard(j)
+                nb[w].discard(j)
+                nb[u].add(w)
+                nb[w].add(u)
+                del nb[j]
+                changed = True
+                break
+
+    out = -2 * np.ones(n, np.int64)
+    if not nb:
+        return out
+    root = 0 if 0 in nb else min(nb)
+    out[root] = -1
+    q = deque([root])
+    seen = {root}
+    while q:
+        x = q.popleft()
+        for y in nb[x]:
+            if y not in seen:
+                seen.add(y)
+                out[y] = x
+                q.append(y)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Top level
 # ---------------------------------------------------------------------------
@@ -449,6 +537,10 @@ def obtain_skeleton_tree(
     seg = np.asarray(seg_labels)[r_indices] if seg_labels is not None else None
     s_parents = simplify_tree(
         r_traj, p_parents, seg, dist_thres=simplify_dist_thres, max_edges=simplify_max_edges
+    )
+    _, avg_edge = compute_average_edge_length(r_traj, p_parents)
+    s_parents = dissolve_degree2_joints(
+        r_traj, p_parents, s_parents, simplify_dist_thres * avg_edge
     )
 
     n_nodes, n_parents, n_indices = adjust_arrow_dir(r_nodes, s_parents, r_indices)

@@ -244,3 +244,43 @@ class TestInsertPointRepair:
         assert _span_max_dev(pts, path, 5, 10) < thres
         edges = compute_insert_points(path, pts, thres, 5)
         assert sorted(edges) == [[0, 5], [5, 10]], edges
+
+
+class TestDissolveDegree2:
+    def _run(self, ys):
+        """5-node pruned chain 0-1-2-3-4 with joints {0, 2, 4}; returns the
+        joint parents after dissolution (thres 0.1)."""
+        from riggs_tpu.skeleton.extract import dissolve_degree2_joints
+
+        x = np.arange(5, dtype=np.float32)
+        pts = np.stack([x, np.asarray(ys, np.float32), np.zeros(5, np.float32)], -1)[None]
+        tree_parents = np.array([-1, 0, 1, 2, 3])
+        joint_parents = np.array([-1, -2, 0, -2, 2])
+        return dissolve_degree2_joints(pts, tree_parents, joint_parents, 0.1)
+
+    def test_collinear_joint_dissolved(self):
+        out = self._run([0.0, 0.0, 0.0, 0.0, 0.0])
+        alive = [i for i in range(5) if out[i] > -2]
+        assert alive == [0, 4], out
+        assert out[0] == -1 and out[4] == 0
+
+    def test_bent_joint_kept(self):
+        out = self._run([0.0, 0.0, 0.5, 0.0, 0.0])  # bend at the joint
+        alive = [i for i in range(5) if out[i] > -2]
+        assert alive == [0, 2, 4], out
+
+    def test_junction_never_dissolved(self):
+        """Degree-3 joints are structural; only degree-2 ones are tested."""
+        from riggs_tpu.skeleton.extract import dissolve_degree2_joints
+
+        # star: center 0 with three straight 2-node arms (all collinear
+        # pairwise through the center, but degree 3 -> kept)
+        pts = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [-1, 0, 0], [-2, 0, 0],
+             [0, 1, 0], [0, 2, 0]], np.float32
+        )[None]
+        tree_parents = np.array([-1, 0, 1, 0, 3, 0, 5])
+        joint_parents = np.array([-1, -2, 0, -2, 0, -2, 0])
+        out = dissolve_degree2_joints(pts, tree_parents, joint_parents, 10.0)
+        alive = sorted(i for i in range(7) if out[i] > -2)
+        assert alive == [0, 2, 4, 6], out
