@@ -303,10 +303,11 @@ def _path_arclength(all_points: np.ndarray, path) -> np.ndarray:
     return out
 
 
-def apply_symmetry(paths, edge_idxs, all_points, semantic_label, length_thres=0.7, semantic_thres=0.6):
-    """Pair up limbs of similar length and semantics; copy the better-simplified
-    limb's joint placement onto its partner by normalized arclength
-    (extract_skeleton_utils.py:177-255)."""
+def pair_limbs(paths, edge_idxs, semantic_label, length_thres=0.7, semantic_thres=0.6):
+    """Greedy limb pairing by length ratio + semantic-label overlap
+    (the selection half of extract_skeleton_utils.py:177-255). Exposed
+    separately so the k-means-vs-ground-truth semantic gap can be measured
+    directly on the pairing decision (scripts/eval_semseg_gap.py)."""
     semantics = [np.asarray(semantic_label)[path] for path in paths]
     pairs = []
     visited = np.zeros(len(paths), int)
@@ -330,6 +331,14 @@ def apply_symmetry(paths, edge_idxs, all_points, semantic_label, length_thres=0.
         if best_j >= 0:
             pairs.append([i, best_j])
             visited[best_j] = 1
+    return pairs
+
+
+def apply_symmetry(paths, edge_idxs, all_points, semantic_label, length_thres=0.7, semantic_thres=0.6):
+    """Pair up limbs of similar length and semantics; copy the better-simplified
+    limb's joint placement onto its partner by normalized arclength
+    (extract_skeleton_utils.py:177-255)."""
+    pairs = pair_limbs(paths, edge_idxs, semantic_label, length_thres, semantic_thres)
 
     for a, b in pairs:
         sel, oth = (a, b) if abs(len(edge_idxs[a]) - 2) < abs(len(edge_idxs[b]) - 2) else (b, a)

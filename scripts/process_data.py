@@ -41,6 +41,35 @@ def cmd_thin(args):
         print(p.stem, int(sk.sum()), "skeleton px")
 
 
+def kmeans_semantic_seg(im, parts: int, spatial_weight: float = 1.0):
+    """(H, W, 3|4) float image -> (H, W) int64 part labels (0 = background).
+    The zero-egress stand-in for the reference's DINO-ViT feature clustering
+    (cal_semantic_seg.py:104-153): k-means over (y, x, r, g, b) pixel
+    features. Gap vs ground-truth parts quantified in
+    scripts/eval_semseg_gap.py."""
+    h, w = im.shape[:2]
+    mask = im[..., 3] > 0.5 if im.shape[-1] == 4 else im[..., :3].sum(-1) > 0.05
+    ys, xs = np.nonzero(mask)
+    seg = np.zeros((h, w), np.int64)
+    if len(ys) == 0:
+        return seg
+    feats = np.stack(
+        [ys / h, xs / w, im[ys, xs, 0], im[ys, xs, 1], im[ys, xs, 2]], -1
+    )
+    feats[:, :2] *= spatial_weight
+    rng = np.random.default_rng(0)
+    centers = feats[rng.choice(len(feats), parts, replace=False)]
+    for _ in range(15):
+        d = ((feats[:, None] - centers[None]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        for j in range(parts):
+            sel = lab == j
+            if sel.any():
+                centers[j] = feats[sel].mean(0)
+    seg[ys, xs] = lab + 1
+    return seg
+
+
 def cmd_semseg(args):
     src = Path(args.path)
     out = src / "semantic_seg"
@@ -48,31 +77,9 @@ def cmd_semseg(args):
     images = sorted((src / args.images).glob("*.png"))
     for p in images:
         im = np.asarray(Image.open(p).convert("RGBA"), np.float32) / 255.0
-        h, w = im.shape[:2]
-        mask = im[..., 3] > 0.5 if im.shape[-1] == 4 else im[..., :3].sum(-1) > 0.05
-        ys, xs = np.nonzero(mask)
-        if len(ys) == 0:
-            seg = np.zeros((1, h, w), np.int64)
-            np.save(out / f"{p.stem}_seg.npy", seg)
-            continue
-        feats = np.stack(
-            [ys / h, xs / w, im[ys, xs, 0], im[ys, xs, 1], im[ys, xs, 2]], -1
-        )
-        feats[:, :2] *= args.spatial_weight
-        k = args.parts
-        rng = np.random.default_rng(0)
-        centers = feats[rng.choice(len(feats), k, replace=False)]
-        for _ in range(15):
-            d = ((feats[:, None] - centers[None]) ** 2).sum(-1)
-            lab = d.argmin(1)
-            for j in range(k):
-                sel = lab == j
-                if sel.any():
-                    centers[j] = feats[sel].mean(0)
-        seg = np.zeros((h, w), np.int64)
-        seg[ys, xs] = lab + 1
+        seg = kmeans_semantic_seg(im, args.parts, args.spatial_weight)
         np.save(out / f"{p.stem}_seg.npy", seg[None])
-        print(p.stem, "parts:", k)
+        print(p.stem, "parts:", args.parts)
 
 
 def cmd_zju_cams(args):
