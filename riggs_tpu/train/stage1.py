@@ -819,6 +819,10 @@ def train_stage1(
             eval_fn(state, it)
         if step_callback is not None:
             step_callback(state, it)
+    if ladder_pol is not None:
+        # final ladder telemetry (refit count under densification is a key
+        # operating-point health signal — BASELINE.md)
+        print(f"[S1 ladder] refits={ladder_pol.refits} ladder={ladder_pol.ladder}")
     return state, history
 
 

@@ -580,4 +580,6 @@ def train_stage2(
                 print(f"[S2 {it}] new best psnr {best_psnr:.3f} — checkpoint saved")
         if step_callback is not None:
             step_callback(state, it)
+    if ladder_pol is not None:
+        print(f"[S2 ladder] refits={ladder_pol.refits} ladder={ladder_pol.ladder}")
     return state, info, history
