@@ -6,13 +6,13 @@ site). Two strategies:
 
   * ``bin_gaussians_sorted`` (fast path): each Gaussian emits up to
     ``max_tiles_per_gaussian`` (tile_id, depth, gid) instances covering its
-    bbox rectangle; one multi-operand ``lax.sort`` with (tile_id, depth) as
-    the key groups instances by tile in front-to-back order — the XLA analog
-    of the CUDA 64-bit-key radix sort. The default 2-key form has no
-    tile_id*N product that could overflow int32 at large N (advisor round-1
-    finding); the opt-in ``SORT_PACKED`` single-key variant reintroduces the
-    product behind a (T+1)*N < 2^31 guard (falls back to 2-key with a
-    one-time warning). Per-tile windows are
+    bbox rectangle; one multi-operand ``lax.sort`` with (tile_id, depth,
+    gid) as the key groups instances by tile in front-to-back order (gid
+    breaks exact depth ties deterministically) — the XLA analog of the CUDA
+    64-bit-key radix sort, with no tile_id*N product that could overflow
+    int32 at large N (advisor round-1 finding). A single-int32-key packed
+    variant (tile*N + depth-rank) was measured slower on-chip (25.4 vs 21.4
+    ms at the 800p/100k bench, round 4) and deleted. Per-tile windows are
     located with searchsorted and compacted to a dense (T, MAX) index table.
   * ``bin_gaussians`` (dense reference): exact (T, N) bbox-mask compaction,
     O(T*N) memory — the oracle-parity reference for tests.
@@ -35,18 +35,6 @@ import numpy as np
 from riggs_tpu.render.project import Projected
 
 TILE = 32  # 32x32 pixels = 1024 lanes per tile, a good VPU shape
-
-SORT_PACKED = False  # A/B knob (bench.py --packed-sort): single int32
-# (tile * N + depth-rank) instance key -> 2-operand 1-key lax.sort instead of
-# the 3-operand (tile, f32 depth, gid) 2-key form; auto-disabled (with a
-# one-time warning) when (T+1)*N would overflow int32. Ordering note
-# (advisor round-2): for distinct depths the packed order is bit-identical
-# to the 2-key sort; bit-identical ties (e.g. clone-densified gaussians)
-# resolve by depth-rank (gaussian index) here vs instance-stream position
-# there — both are valid front-to-back orders, rendering is unaffected.
-
-_warned_packed_guard = False
-
 
 def _extract_windows(src: jax.Array, starts: jax.Array, max_per_tile: int) -> jax.Array:
     """(T, MAX) windows ``src[starts[t] : starts[t]+MAX]`` of a 1-D int32 array.
@@ -96,25 +84,6 @@ class GridInfo(NamedTuple):
     # crosses the gather_grid custom_vjp boundary; callers pass K statically.
 
 
-class EnumInfo(NamedTuple):
-    """By-product of ``bin_gaussians_sorted`` (``want_iid=True``): every
-    sorted instance carries its slot in the concatenated enumeration layout
-    (pass-1 (K, N) grid, then the mid/giant tier (K2, cap) grids), so the
-    window-gather backward can scatter window gradients to their unique
-    enumeration cells — a collision-free scatter — and segment-reduce each
-    tier, instead of XLA's generic scatter-add over gaussian ids (the
-    measured bwd hotspot at the 800p bench).
-
-    Static segment sizes ((K1, N), (K2m, mid_cap), (K2g, giant_cap)) are
-    deliberately NOT fields (python-int leaves would be traced crossing the
-    gather_ladder custom_vjp boundary); callers pass them statically.
-    """
-
-    iid_sorted: jax.Array  # (M,) enumeration slot of each sorted instance
-    gsel_mid: jax.Array | None  # (mid_cap,) gaussian per mid slot; N sentinel
-    gsel_giant: jax.Array | None  # (giant_cap,) gaussian per giant slot
-
-
 class RunsInfo(NamedTuple):
     """Aligned-runs instance layout (``bin_gaussians_runs``): each tile's
     depth-ordered instance run is padded to a multiple of the kernel chunk
@@ -139,8 +108,6 @@ class TileBins(NamedTuple):
     overflow_budget: jax.Array = None  # () instance-budget slots dropped
     starts: jax.Array = None  # (T,) window start per tile in gid_sorted (sort binner)
     gid_sorted: jax.Array = None  # (M,) tile-grouped depth-ordered gaussian ids
-    enum: EnumInfo = None  # set by bin_gaussians_sorted(want_iid=True)
-    enum_sizes: tuple = None  # static ((K1,N),(K2m,mid_cap),(K2g,giant_cap))
 
     def gather(self, packed: jax.Array) -> jax.Array:
         """Per-tile rows of ``packed`` (N, D) -> (T, MAX, D)."""
@@ -263,7 +230,6 @@ def bin_gaussians_sorted(
     giant_side: int = 12,
     mid_cap: int = 0,
     mid_side: int = 4,
-    want_iid: bool = False,
 ) -> TileBins:
     """Fast binning via one global (tile, depth) instance sort.
 
@@ -370,15 +336,13 @@ def bin_gaussians_sorted(
             jnp.concatenate([gid, gid2]),
             rect_overflow_cells,
             handled,
-            gsel.astype(jnp.int32),  # (cap,) gaussian per tier slot; N sentinel
         )
 
     lo = side
     mid_handled = None
-    gsel_mid = gsel_giant = None
     if mid_cap > 0 and mid_side > side:
         sel = proj.mask & ((w_rect > side) | (h_rect > side))
-        tile_id, depth, gid, rect_overflow_cells, mid_handled, gsel_mid = extra_tier(
+        tile_id, depth, gid, rect_overflow_cells, mid_handled = extra_tier(
             sel, mid_cap, side, mid_side, tile_id, depth, gid, rect_overflow_cells
         )
         lo = mid_side
@@ -389,52 +353,22 @@ def bin_gaussians_sorted(
             # ring; skip it here so the overflow diagnostic keeps counting
             # those cells (escalation will re-render with bigger caps)
             sel &= mid_handled
-        tile_id, depth, gid, rect_overflow_cells, _, gsel_giant = extra_tier(
+        tile_id, depth, gid, rect_overflow_cells, _ = extra_tier(
             sel, giant_cap, lo, giant_side, tile_id, depth, gid, rect_overflow_cells
         )
 
-    if SORT_PACKED and (T + 1) * N >= 2**31:
-        global _warned_packed_guard
-        if not _warned_packed_guard:
-            _warned_packed_guard = True
-            import warnings
-
-            warnings.warn(
-                f"SORT_PACKED requested but (T+1)*N = {(T + 1) * N} >= 2^31; "
-                "falling back to the 3-operand 2-key sort",
-                stacklevel=2,
-            )
-    iid = None
-    if want_iid:
-        # enumeration slot per instance: the concatenation order above IS the
-        # (pass-1 grid, mid grid, giant grid) layout, so slots are just the
-        # positions. Carried through the sort as one extra payload so the
-        # window-gather backward can scatter collision-free (EnumInfo).
-        iid = jnp.arange(tile_id.shape[0], dtype=jnp.int32)
-    if SORT_PACKED and (T + 1) * N < 2**31:
-        # 2-operand single-key sort: depth-rank the N gaussians once (cheap vs
-        # the instance count after tiered enumeration), then pack
-        # (tile, depth-rank) into one int32 key — exact front-to-back order,
-        # one fewer 535k-row sort operand than the 3-op (tile, f32 depth, gid)
-        # form. Guarded by (T+1)*N < 2^31 (the sentinel tile T must pack too).
-        order = jnp.argsort(jnp.where(proj.mask, proj.depth, jnp.inf)).astype(jnp.int32)
-        drank_of_gid = jnp.zeros((N,), jnp.int32).at[order].set(
-            jnp.arange(N, dtype=jnp.int32)
-        )
-        key = tile_id * N + drank_of_gid[gid]
-        if want_iid:
-            key_sorted, gid_sorted, iid_sorted = jax.lax.sort((key, gid, iid), num_keys=1)
-        else:
-            key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
-        tile_sorted = None
-    elif want_iid:
-        tile_sorted, _, gid_sorted, iid_sorted = jax.lax.sort(
-            (tile_id, depth, gid, iid), num_keys=2
-        )
-    else:
-        tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, depth, gid), num_keys=2
-        )  # grouped by tile, front-to-back within each tile
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=3
+    )  # grouped by tile, front-to-back within each tile; gid as the 3rd
+    # key breaks exact depth ties deterministically (~400 f32 collisions
+    # per 100k random depths): a stable 2-key sort resolves ties by
+    # instance EMISSION position, which differs between the plain and
+    # tiered enumerations (a mid/giant-tier instance sits after every
+    # pass-1 instance), so the same scene rendered tier-on vs tier-off
+    # blended tied splats in different orders. gid-order ties also match
+    # the CUDA rasterizer's stable radix sort over per-gaussian duplicate
+    # emission (reference diff_gaussian_rasterization duplicateWithKeys)
+    # and the sorted2 / compact binners' drank tie-break.
 
     if counts_via == "histogram" and opacity is None and giant_cap == 0:
         # emitted cells per gaussian are the rect clipped to side x side, so
@@ -446,12 +380,8 @@ def bin_gaussians_sorted(
         count, starts = _mxu_tile_histogram(proj, lox, hix_e, loy, hiy_e, tx_n, ty_n)
     else:
         tids = jnp.arange(T, dtype=jnp.int32)
-        if tile_sorted is None:  # packed key: tile boundaries at multiples of N
-            starts = jnp.searchsorted(key_sorted, tids * N).astype(jnp.int32)
-            ends = jnp.searchsorted(key_sorted, (tids + 1) * N).astype(jnp.int32)
-        else:
-            starts = jnp.searchsorted(tile_sorted, tids).astype(jnp.int32)
-            ends = jnp.searchsorted(tile_sorted, tids + 1).astype(jnp.int32)
+        starts = jnp.searchsorted(tile_sorted, tids).astype(jnp.int32)
+        ends = jnp.searchsorted(tile_sorted, tids + 1).astype(jnp.int32)
         count = (ends - starts).astype(jnp.int32)
 
     s = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
@@ -465,21 +395,10 @@ def bin_gaussians_sorted(
     # rect-overflow diagnostic (count stays the true per-tile hit count,
     # which also drives kernel chunk predication)
     rect_overflow = jnp.sum(rect_overflow_cells)
-    enum = None
-    enum_sizes = None
-    if want_iid:
-        enum = EnumInfo(
-            iid_sorted=iid_sorted, gsel_mid=gsel_mid, gsel_giant=gsel_giant
-        )
-        enum_sizes = (
-            (K, N),
-            (mid_side * mid_side, mid_cap) if gsel_mid is not None else (0, 0),
-            (giant_side * giant_side, giant_cap) if gsel_giant is not None else (0, 0),
-        )
     return TileBins(
         idx=idx, valid=valid, count=count, tiles_x=tx_n, tiles_y=ty_n,
         overflow=rect_overflow.astype(jnp.int32),
-        starts=starts, gid_sorted=gid_sorted, enum=enum, enum_sizes=enum_sizes,
+        starts=starts, gid_sorted=gid_sorted,
     )
 
 
@@ -527,7 +446,7 @@ def bin_gaussians_runs(
     depth = jnp.broadcast_to(proj.depth[None, :], (K, N)).reshape(-1)
     gid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)).reshape(-1)
 
-    _, _, gid_sorted = jax.lax.sort((tile_id, depth, gid), num_keys=2)
+    _, _, gid_sorted = jax.lax.sort((tile_id, depth, gid), num_keys=3)
 
     hix_e = lox + jnp.minimum(w_rect, side) - 1
     hiy_e = loy + jnp.minimum(h_rect, side) - 1

@@ -108,6 +108,21 @@ def _dot_f32(a, b, dims, a_exact: bool = False):
     HIGHEST (6 bf16 MXU passes), or with MXU_SPLIT2: manual hi/lo splits —
     2 passes when ``a_exact`` (a is bf16-representable: the ones-triangle),
     3 passes otherwise (split both, drop the lo*lo term: classic bf16x3).
+
+    Used for the value-critical matmuls (cumsum, fwd accumulation), whose
+    bf16 rounding would exponentiate into ~0.3% alpha error. The BACKWARD's
+    vdc / dvg / moment-reduction dots deliberately stay 1-pass DEFAULT: the
+    MXU accumulates f32, only their inputs round once to bf16, so on-chip
+    gradients carry ~2^-8 input-grade rounding (measured round-4: grad
+    dumps bf16-quantized, 1-2 ulp apart between kernel layouts). Every
+    fp32-grade alternative measured worse than the rounding is worth:
+    6-pass HIGHEST re-streams the (G,P) operands six times (23.8 vs 20.75
+    ms end-to-end), Mosaic rejects the 2-pass hi/lo split form for 1-wide-
+    output reductions ("only constant accumulators supported"), and a
+    VPU-exact vdc moves work onto the bottleneck unit (21.3 vs 20.75 ms).
+    Training is unaffected (grad noise ~0.4% under Adam); the on-chip test
+    tier asserts parity at this documented tolerance (GRAD_TOL), and the
+    CPU interpret path computes everything in exact f32.
     """
     if MXU_SPLIT2:
         bh = b.astype(jnp.bfloat16).astype(jnp.float32)
@@ -559,8 +574,12 @@ pallas_blend_runs.defvjp(_pb_runs_fwd, _pb_runs_bwd)
 # the 128-divisibility rule doesn't apply; each block is one contiguous
 # G_CHUNK*ROWS_GM*4B HBM segment.
 
-GM_LAYOUT = False  # A/B knob (bench.py --gm): route the ladder path through
-# the gaussian-major kernels below instead of the channel-major ones
+# The ladder path routes through the gaussian-major kernels unconditionally:
+# measured faster than the channel-major permuted kernels on-chip (21.3 vs
+# 21.4 ms fwd+bwd at the 800p/100k bench, round 4), with less host-side work
+# (the channel-major permuted variant was deleted with that measurement; the
+# non-permuted channel-major kernels remain for the plain-window and
+# tile-sharded paths).
 
 ROWS_GM = 10  # mx, my, conic(3), opacity, rgb(3), depth — no sublane padding
 
@@ -798,7 +817,8 @@ pallas_blend_gm.defvjp(_pb_gm_fwd, _pb_gm_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pallas_blend_permuted_gm(g_packed, counts, tids, tiles_x: int, interpret: bool = False):
     """Gaussian-major blend for the laddered-window path (count-sorted tile
-    rows; real tile ids via the scalar block). See pallas_blend_permuted."""
+    rows, so pixel coordinates come from the real per-row tile id ``tids``
+    (T,) in the scalar block instead of the grid position)."""
     out, _ = _pb_perm_gm_fwd(g_packed, counts, tids, tiles_x, interpret)
     return out
 
@@ -918,15 +938,6 @@ def _pallas_blend_bwd(tiles_x, interpret, res, dout):
     return (dg, None)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def pallas_blend_permuted(g_packed, counts, tids, tiles_x: int, interpret: bool = False):
-    """Blend for the laddered-window path: grid rows are count-sorted tiles,
-    so pixel coordinates come from the real per-row tile id ``tids`` (T,)
-    instead of the grid position. Same math and residuals otherwise."""
-    out, _ = _pb_perm_fwd(g_packed, counts, tids, tiles_x, interpret)
-    return out
-
-
 def _perm_scalars(counts, tids, tiles_x):
     return jnp.concatenate(
         [
@@ -937,27 +948,7 @@ def _perm_scalars(counts, tids, tiles_x):
     )
 
 
-def _pb_perm_fwd(g_packed, counts, tids, tiles_x, interpret):
-    T, R, MAX = g_packed.shape
-    assert R == PACK_ROWS and MAX % G_CHUNK == 0
-    C = MAX // G_CHUNK
-    out, tentry = _make_fwd(T, C, tiles_x, interpret, permuted=True)(
-        _perm_scalars(counts, tids, tiles_x), g_packed
-    )
-    return out, (g_packed, counts, tids, tentry)
 
-
-def _pb_perm_bwd(tiles_x, interpret, res, dout):
-    g_packed, counts, tids, tentry = res
-    T, R, MAX = g_packed.shape
-    C = MAX // G_CHUNK
-    (dg,) = _make_bwd(T, C, tiles_x, interpret, permuted=True)(
-        _perm_scalars(counts, tids, tiles_x), g_packed, tentry, dout
-    )
-    return (dg, None, None)
-
-
-pallas_blend_permuted.defvjp(_pb_perm_fwd, _pb_perm_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

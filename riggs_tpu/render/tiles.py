@@ -97,66 +97,6 @@ def _gather_grid_bwd(k, grid, dg):
 gather_grid.defvjp(_gather_grid_fwd, _gather_grid_bwd)
 
 
-STRUCT_BWD = False  # A/B knob (bench.py --struct-bwd): structural backward
-# for the sort-binner window gathers. Window gradients scatter collision-free
-# to their unique enumeration cells (EnumInfo iids carried through the sort
-# as one extra payload), then pass-1 reshape-sum + small tier scatters give
-# per-gaussian grads — replacing XLA's generic scatter-add over gaussian ids
-# (the measured bwd hotspot, BASELINE.md round-2 decomposition).
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def gather_windows_struct(seg_sizes, packed, wins, iid_wins, valids, gsels):
-    """Window row gathers over count-sorted buckets with a structural backward.
-
-    seg_sizes: static ((K1, N), (K2m, mid_cap), (K2g, giant_cap)) enumeration
-    layout of ``bin_gaussians_sorted`` (cap 0 disables a tier).
-    wins / iid_wins / valids: tuples of per-bucket (nb, cap) arrays — gaussian
-    id, enumeration slot, and validity per window slot. gsels: the
-    (gsel_mid, gsel_giant) gaussian-per-tier-slot arrays (None when absent).
-    Returns per-bucket (nb, cap, D) rows; invalid slots read row 0 like the
-    plain gather (their blend grads are exactly zero — see the ladder path).
-    """
-    return tuple(packed[jnp.where(v, w, 0)] for w, v in zip(wins, valids))
-
-
-def _gw_struct_fwd(seg_sizes, packed, wins, iid_wins, valids, gsels):
-    out = tuple(packed[jnp.where(v, w, 0)] for w, v in zip(wins, valids))
-    return out, (wins, iid_wins, valids, gsels)
-
-
-def _gw_struct_bwd(seg_sizes, res, dgs):
-    wins, iid_wins, valids, gsels = res
-    (k1, n), (k2m, capm), (k2g, capg) = seg_sizes
-    m_enum = k1 * n + k2m * capm + k2g * capg
-    d = dgs[0].shape[-1]
-    # valid slots occupy unique sorted positions -> unique enumeration cells;
-    # invalid slots are sent out of bounds and dropped (their grads are zero)
-    flat_i = jnp.concatenate(
-        [jnp.where(v, iw, m_enum).reshape(-1) for iw, v in zip(iid_wins, valids)]
-    )
-    flat_g = jnp.concatenate([dg.reshape(-1, d) for dg in dgs]).astype(jnp.float32)
-    d_enum = jnp.zeros((m_enum, d), jnp.float32).at[flat_i].add(
-        flat_g, mode="drop", unique_indices=True
-    )
-    dp = d_enum[: k1 * n].reshape(k1, n, d).sum(0)
-    off = k1 * n
-    for (k2, cap), gsel in zip(((k2m, capm), (k2g, capg)), gsels):
-        if cap == 0:
-            continue
-        seg = d_enum[off : off + k2 * cap].reshape(k2, cap, d).sum(0)
-        # gsel's unused slots carry the N sentinel (seg rows there are zero);
-        # sentinel duplicates land in the extra row, sliced off
-        dp = dp + jnp.zeros((n + 1, d), jnp.float32).at[gsel].add(seg, mode="drop")[:n]
-        off += k2 * cap
-    _z = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    zt = lambda t: jax.tree.map(_z, t)
-    return dp, zt(wins), zt(iid_wins), zt(valids), zt(gsels)
-
-
-gather_windows_struct.defvjp(_gw_struct_fwd, _gw_struct_bwd)
-
-
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int = TILE) -> jax.Array:
     """(T, tile*tile, 2) pixel centers for every tile."""
     t = jnp.arange(tiles_x * tiles_y, dtype=jnp.float32)
@@ -192,8 +132,13 @@ def _blend_tile_chunks(pix, mean2d, conic, opacity, colors, depths):
         Texc = T_run[:, None] * (Pc / one_m)  # running transmittance before each g
         Pin = T_run[:, None] * Pc  # after each g
         w = alpha * Texc * (Pin >= T_EPS)
-        rgb = rgb + jnp.dot(w, col, preferred_element_type=jnp.float32)
-        dep = dep + jnp.dot(w, dth, preferred_element_type=jnp.float32)
+        # HIGHEST: this is the reference/fallback path (dead on TPU by
+        # default) — at TPU default precision these dots run bf16 and the
+        # path stops being a valid f32-grade parity reference for the
+        # Pallas kernels (round-4 on-chip tier finding: 2.7e-3 image diff)
+        hi = jax.lax.Precision.HIGHEST
+        rgb = rgb + jnp.dot(w, col, preferred_element_type=jnp.float32, precision=hi)
+        dep = dep + jnp.dot(w, dth, preferred_element_type=jnp.float32, precision=hi)
         acc = acc + jnp.sum(w, axis=-1)
         return (T_run * Pc[:, -1], rgb, dep, acc), None
 
@@ -329,7 +274,6 @@ def rasterize_tiled(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             opacity=op_cull, giant_cap=giant_cap, giant_side=giant_side,
             mid_cap=mid_cap, mid_side=mid_side,
-            want_iid=STRUCT_BWD and blend == "pallas",
         )
     else:
         bins = bin_gaussians(proj, cam.width, cam.height, max_per_tile=max_per_tile)
@@ -357,12 +301,7 @@ def rasterize_tiled(
         if blend != "pallas" or bins.starts is None:
             raise ValueError("tile_ladder requires blend='pallas' and binning='sort'")
         from riggs_tpu.render.binning import _extract_windows
-        from riggs_tpu.render.pallas_blend import (
-            GM_LAYOUT,
-            PACK_ROWS,
-            pallas_blend_permuted,
-            pallas_blend_permuted_gm,
-        )
+        from riggs_tpu.render.pallas_blend import pallas_blend_permuted_gm
 
         T = bins.tiles_x * bins.tiles_y
         if sum(n for n, _ in tile_ladder) != T:
@@ -374,16 +313,14 @@ def rasterize_tiled(
         inv = jnp.argsort(ordr)
         cap_max = max(-(-cap // G_CHUNK) * G_CHUNK for _, cap in tile_ladder)
         gid_pad = jnp.pad(bins.gid_sorted, (0, cap_max))
-        use_struct = STRUCT_BWD and bins.enum is not None
-        iid_pad = (
-            jnp.pad(bins.enum.iid_sorted, (0, cap_max)) if use_struct else None
-        )
         # pass 1: per-bucket window extraction (contiguous spans — full HBM
-        # bandwidth); the row gathers run either plainly (XLA scatter-add
-        # backward) or through gather_windows_struct (collision-free
-        # enumeration-cell backward) in ONE call over all buckets
+        # bandwidth) + plain row gathers (XLA scatter-add backward; a
+        # collision-free enumeration-cell backward was measured SLOWER
+        # on-chip — 33.8 vs 21.5 ms at the 800p/100k bench, round 4 — and
+        # deleted: both scatter forms are row-op-bound and the structural
+        # form needs strictly more row ops)
         bucket_meta = []  # (nb, rounded cap | 0, tids_b, counts_b)
-        wins_l, iids_l, valids_l = [], [], []
+        wins_l, valids_l = [], []
         r0 = 0
         for nb, cap in tile_ladder:
             tids_b = ordr[r0 : r0 + nb]
@@ -398,23 +335,9 @@ def rasterize_tiled(
                     jnp.arange(cap, dtype=jnp.int32)[None, :]
                     < jnp.minimum(counts_b, cap)[:, None]
                 )
-                if use_struct:
-                    iids_l.append(_extract_windows(iid_pad, starts_b, cap))
                 bucket_meta.append((nb, cap, tids_b, counts_b))
             r0 += nb
-        if use_struct:
-            gathered = list(
-                gather_windows_struct(
-                    bins.enum_sizes,
-                    packed,
-                    tuple(wins_l),
-                    tuple(iids_l),
-                    tuple(valids_l),
-                    (bins.enum.gsel_mid, bins.enum.gsel_giant),
-                )
-            )
-        else:
-            gathered = [packed[jnp.where(v, w, 0)] for w, v in zip(wins_l, valids_l)]
+        gathered = [packed[jnp.where(v, w, 0)] for w, v in zip(wins_l, valids_l)]
         outs = []
         ladder_overflow = jnp.zeros((), jnp.int32)
         bi = 0
@@ -426,29 +349,17 @@ def rasterize_tiled(
                 ladder_overflow += jnp.sum(counts_b)
                 continue
             g_b = gathered[bi]  # (nb, cap, 10); invalid slots read row 0
-            valid_b = valids_l[bi]
             bi += 1
-            if GM_LAYOUT:
-                # gaussian-major: rows past the true count are masked
-                # IN-KERNEL (their values are irrelevant and their grads are
-                # exactly zero, so the backward ignores them either way)
-                outs.append(
-                    pallas_blend_permuted_gm(
-                        g_b, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
-                    )
+            # gaussian-major kernel (measured best, round 4: 21.3 vs 21.4 ms
+            # channel-major): rows past the true count are masked IN-KERNEL
+            # (their values are irrelevant and their grads are exactly zero,
+            # so the backward ignores them either way); no host-side pad,
+            # mask, or transpose of the gathered windows
+            outs.append(
+                pallas_blend_permuted_gm(
+                    g_b, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
                 )
-            else:
-                g_b = g_b.at[..., 5].set(jnp.where(valid_b, g_b[..., 5], 0.0))
-                gp = jnp.concatenate(
-                    [g_b, jnp.zeros(g_b.shape[:2] + (PACK_ROWS - g_b.shape[-1],), g_b.dtype)],
-                    axis=-1,
-                )
-                gp = jnp.transpose(gp, (0, 2, 1))  # (nb, 16, cap)
-                outs.append(
-                    pallas_blend_permuted(
-                        gp, jnp.minimum(counts_b, cap), tids_b, bins.tiles_x, interpret
-                    )
-                )
+            )
             ladder_overflow += jnp.sum(jnp.maximum(counts_b - cap, 0))
         out = jnp.concatenate(outs, axis=0)[inv]  # (T, 8, P) back in tile order
         rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))
@@ -480,20 +391,6 @@ def rasterize_tiled(
     elif bins.grid is not None:
         side = max(int(np.ceil(np.sqrt(max_tiles_per_gaussian))), 1)
         g = gather_grid(packed, bins.grid, side * side)  # (T, MAX, 10)
-    elif STRUCT_BWD and bins.enum is not None:
-        from riggs_tpu.render.binning import _extract_windows as _ew
-
-        iid_win = _ew(
-            jnp.pad(bins.enum.iid_sorted, (0, max_per_tile)), bins.starts, max_per_tile
-        )
-        (g,) = gather_windows_struct(
-            bins.enum_sizes,
-            packed,
-            (bins.idx,),
-            (iid_win,),
-            (bins.valid,),
-            (bins.enum.gsel_mid, bins.enum.gsel_giant),
-        )  # (T, MAX, 10)
     else:
         g = bins.gather(packed)  # (T, MAX, 10)
 

@@ -8,12 +8,6 @@ set -x
 cd "$(dirname "$0")/.."
 timeout 1200 python bench.py 2>&1 | tee /tmp/bench_default.json
 sleep 10
-timeout 1200 python bench.py --struct-bwd 2>&1 | tee /tmp/bench_structbwd.json
-sleep 10
-timeout 1200 python bench.py --gm 2>&1 | tee /tmp/bench_gm.json
-sleep 10
-timeout 1200 python bench.py --packed-sort 2>&1 | tee /tmp/bench_packedsort.json
-sleep 10
 timeout 1200 python bench.py --no-ladder 2>&1 | tee /tmp/bench_noladder.json
 sleep 10
 timeout 1200 python bench.py --no-tiers 2>&1 | tee /tmp/bench_notiers.json

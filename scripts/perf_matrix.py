@@ -47,25 +47,16 @@ VARIANTS = {
     "tier4": (dict(**TIER4), {}),
     "ladder": (dict(tile_ladder=LADDER), {}),
     "default": (dict(tile_ladder=LADDER, **TIER4), {}),  # bench.py default
-    "default+struct": (
+    # round-4 chip A/Bs (decided & deleted): struct-bwd 33.8 ms, packed-sort
+    # 25.4 ms (both regressions vs default 21.4); gm 21.3 ms (now the
+    # unconditional ladder layout). Remaining live knobs:
+    "default+bwd256": (
         dict(tile_ladder=LADDER, **TIER4),
-        {("tiles", "STRUCT_BWD"): True},
+        {("pallas_blend", "BWD_CHUNK"): 256},
     ),
-    "default+gm": (
+    "default+bwd384": (
         dict(tile_ladder=LADDER, **TIER4),
-        {("pallas_blend", "GM_LAYOUT"): True},
-    ),
-    "default+packed": (
-        dict(tile_ladder=LADDER, **TIER4),
-        {("binning", "SORT_PACKED"): True},
-    ),
-    "default+struct+packed": (
-        dict(tile_ladder=LADDER, **TIER4),
-        {("tiles", "STRUCT_BWD"): True, ("binning", "SORT_PACKED"): True},
-    ),
-    "default+gm+struct": (
-        dict(tile_ladder=LADDER, **TIER4),
-        {("pallas_blend", "GM_LAYOUT"): True, ("tiles", "STRUCT_BWD"): True},
+        {("pallas_blend", "BWD_CHUNK"): 384},
     ),
 }
 
@@ -113,40 +104,57 @@ def run_variants(names=None, fwd_only=False):
         kw, flags = VARIANTS[name]
         saved = _set_flags(flags)
         try:
-            out = rasterize_tiled(
-                cam, means, colors, opacity, scales, rots, bg,
-                max_per_tile=MAX_PER_TILE, **kw,
+            out = _check_and_time(
+                name, kw, rasterize_tiled, cam, means, colors, opacity, scales,
+                rots, bg, ref_img, rows, fwd_only,
             )
-            ov = int(out["overflow"])
-            assert ov == 0, f"{name}: overflow {ov} — not a valid timing config"
-            img = np.asarray(out["image"])
             if ref_img is None:
-                ref_img = img
-            else:
-                err = float(np.abs(img - ref_img).max())
-                assert err < 1e-3, f"{name}: image diverges from default by {err}"
-
-            if fwd_only:
-                step = jax.jit(
-                    lambda m, c, o, s, r: rasterize_tiled(
-                        cam, m, c, o, s, r, bg, max_per_tile=MAX_PER_TILE, **kw
-                    )["image"]
-                )
-            else:
-                def loss_fn(m, c, o, s, r):
-                    out = rasterize_tiled(
-                        cam, m, c, o, s, r, bg, max_per_tile=MAX_PER_TILE, **kw
-                    )
-                    return jnp.mean(out["image"])
-
-                step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-            ms, comp = timed(step, means, colors, opacity, scales, rots)
-            mpix = SIZE * SIZE / ms / 1e3
-            print(f"{name:24s}: {ms:7.2f} ms  {mpix:6.1f} Mpix/s  (compile {comp:.0f}s)", flush=True)
-            rows.append((name, ms))
+                ref_img = out
+        except AssertionError as e:  # record and keep measuring the rest
+            print(f"{name:24s}: FAILED {e}", flush=True)
         finally:
             _set_flags(saved)
     return rows
+
+
+def _check_and_time(name, kw, rasterize_tiled, cam, means, colors, opacity,
+                    scales, rots, bg, ref_img, rows, fwd_only):
+    """Parity-check one variant vs the reference image, then time it.
+
+    Returns the variant's image (the first call establishes the reference).
+    Raises AssertionError on overflow or divergence — caller records and
+    continues with the remaining variants.
+    """
+    out = rasterize_tiled(
+        cam, means, colors, opacity, scales, rots, bg,
+        max_per_tile=MAX_PER_TILE, **kw,
+    )
+    ov = int(out["overflow"])
+    assert ov == 0, f"overflow {ov} — not a valid timing config"
+    img = np.asarray(out["image"])
+    if ref_img is not None:
+        err = float(np.abs(img - ref_img).max())
+        assert err < 1e-3, f"image diverges from reference by {err}"
+
+    if fwd_only:
+        step = jax.jit(
+            lambda m, c, o, s, r: rasterize_tiled(
+                cam, m, c, o, s, r, bg, max_per_tile=MAX_PER_TILE, **kw
+            )["image"]
+        )
+    else:
+        def loss_fn(m, c, o, s, r):
+            res = rasterize_tiled(
+                cam, m, c, o, s, r, bg, max_per_tile=MAX_PER_TILE, **kw
+            )
+            return jnp.mean(res["image"])
+
+        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    ms, comp = timed(step, means, colors, opacity, scales, rots)
+    mpix = SIZE * SIZE / ms / 1e3
+    print(f"{name:24s}: {ms:7.2f} ms  {mpix:6.1f} Mpix/s  (compile {comp:.0f}s)", flush=True)
+    rows.append((name, ms))
+    return img
 
 
 def run_stages():

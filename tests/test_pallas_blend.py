@@ -66,11 +66,7 @@ class TestLadderedWindows:
     smaller windows, shrinking the row-op-bound instance gather/scatter; the
     permuted-tile kernel must reproduce the dense path exactly."""
 
-    @pytest.mark.parametrize("gm", [False, True], ids=["cmajor", "gmajor"])
-    def test_ladder_matches_dense_fwd_bwd(self, rng, gm, monkeypatch):
-        import riggs_tpu.render.pallas_blend as PB
-
-        monkeypatch.setattr(PB, "GM_LAYOUT", gm)
+    def test_ladder_matches_dense_fwd_bwd(self, rng):
         big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
         means, colors, opacity, scales, rots = make_scene(rng, n=400, seed_extent=0.4)
         bg = jnp.zeros(3)
@@ -156,12 +152,12 @@ class TestLadderedWindows:
         np.testing.assert_allclose(np.asarray(probe["alpha"]), np.asarray(out["alpha"]), atol=2e-5)
 
 
-class TestStructBwd:
-    """gather_windows_struct (tiles.STRUCT_BWD): window grads scatter
-    collision-free to their unique enumeration cells (iids carried through
-    the sort) instead of XLA's scatter-add over gaussian ids. Must be
-    grad-exact vs the plain gather on every path (ladder / plain windows /
-    all three enumeration tiers)."""
+class TestTieredEnumeration:
+    """Tiered bbox enumeration (pass-1 2x2 + mid + giant tiers) must be
+    image- and grad-exact vs the single-window enumeration on a scene that
+    populates every tier: the union of tier cells is exactly the clipped
+    bbox rect, and the 3-key (tile, depth, gid) sort makes the blend order
+    identical even for bit-equal depths (round-4 on-chip parity finding)."""
 
     def _scene_with_tiers(self, rng):
         """Mixed scene: small splats (pass-1 2x2), mid splats (> 2x2 rect),
@@ -171,10 +167,7 @@ class TestStructBwd:
         scales = scales.at[6:30].set(0.08)  # mid tier
         return means, colors, opacity, scales, rots
 
-    def _grads(self, big, scene, kw, struct, monkeypatch):
-        import riggs_tpu.render.tiles as TL
-
-        monkeypatch.setattr(TL, "STRUCT_BWD", struct)
+    def _grads(self, big, scene, kw):
         means, colors, opacity, scales, rots = scene
         bg = jnp.full(3, 0.15)
 
@@ -195,7 +188,6 @@ class TestStructBwd:
     @pytest.mark.parametrize(
         "kw",
         [
-            dict(max_per_tile=512),
             dict(max_per_tile=512, max_tiles_per_gaussian=4, mid_cap=64, mid_side=4),
             dict(
                 max_per_tile=512,
@@ -205,13 +197,14 @@ class TestStructBwd:
                 tile_ladder=((4, 512), (4, 256), (8, 128)),
             ),
         ],
-        ids=["plain", "tiers", "tiers+ladder"],
+        ids=["tiers", "tiers+ladder"],
     )
-    def test_matches_plain_gather(self, rng, kw, monkeypatch):
+    def test_matches_single_window_enumeration(self, rng, kw):
         big = make_camera(np.eye(3), np.array([0, 0, 3.0]), 128, 128, fovx=1.0, fovy=1.0)
         scene = self._scene_with_tiers(rng)
-        la, a, ga = self._grads(big, scene, kw, False, monkeypatch)
-        lb, b, gb = self._grads(big, scene, kw, True, monkeypatch)
+        la, a, ga = self._grads(big, scene, dict(max_per_tile=512))
+        lb, b, gb = self._grads(big, scene, kw)
+        assert int(b["overflow"]) == 0
         np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]), atol=2e-6)
         for x, y, name in zip(ga, gb, ["means", "colors", "opacity", "scales"]):
             # identical contributions, different accumulation orders

@@ -116,29 +116,6 @@ class TestBinning:
             ib = b_idx[t][np.asarray(b.valid[t])]
             np.testing.assert_array_equal(ia, ib)
 
-    def test_packed_sort_key_exact_match(self, rng, cam):
-        """SORT_PACKED (single int32 tile*N+depth-rank key) must reproduce the
-        3-operand 2-key sort binning bit-exactly: same windows, counts, starts,
-        and sorted gid stream. Exactness holds for DISTINCT depths (this
-        scene's): bit-identical depths tie-break by depth-rank in the packed
-        key vs instance-stream position in the 2-key sort — both valid
-        front-to-back orders (advisor round-2)."""
-        import riggs_tpu.render.binning as bn
-
-        means, colors, opacity, scales, rots = make_scene(rng, n=300)
-        proj = project_gaussians(cam, means, build_cov3d(scales, rots))
-        kw = dict(max_per_tile=512, opacity=opacity, mid_cap=64, giant_cap=32)
-        a = bn.bin_gaussians_sorted(proj, 64, 64, **kw)
-        try:
-            bn.SORT_PACKED = True
-            b = bn.bin_gaussians_sorted(proj, 64, 64, **kw)
-        finally:
-            bn.SORT_PACKED = False
-        np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
-        np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
-        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
-        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
-
     @pytest.mark.parametrize("binning", ["sort", "sort2", "compact", "runs"])
     def test_binner_image_matches_oracle(self, rng, cam, binning):
         means, colors, opacity, scales, rots = make_scene(rng, n=150)
