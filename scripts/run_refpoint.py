@@ -116,6 +116,9 @@ def main():
     o.skeleton_warm_up = min(1_000, max(args.s2 // 10, 50))
     o.optimize_template_offsets_iters = min(15_000, max(args.s2 // 3, 100))
 
+    # line-buffer stdout: a timeout-killed run must still leave the
+    # stage-1 partial report on disk (block-buffered pipes lose everything)
+    sys.stdout.reconfigure(line_buffering=True)
     report = {"size": args.size, "capacity": args.capacity}
 
     t1 = StepTimer()
@@ -130,6 +133,7 @@ def main():
     report["s1_alive_gaussians"] = n_gs
     print(f"stage 1 prefix: {s1_wall:.0f}s, {report['s1_ms_per_iter']} ms/iter "
           f"steady, {n_gs} alive gaussians, peak {report['mem_peak_gb_after_s1']} GB")
+    print("PARTIAL " + json.dumps(report))  # survives a timeout mid-stage-2
 
     o.iterations = args.s2 if not args.full else REF_S2  # stage-2 budget (shared field)
     t2 = StepTimer()
