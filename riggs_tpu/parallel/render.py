@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from riggs_tpu.camera.camera import Camera
 from riggs_tpu.render.binning import TILE, bin_gaussians_sorted
@@ -77,7 +77,7 @@ def rasterize_tile_sharded(
         mesh=mesh,
         in_specs=(P("tile"), P("tile")),
         out_specs=P("tile"),
-        check_rep=False,
+        check_vma=False,
     )(gp, counts)  # (T_pad, 8, P)
     out = out[:T]
 

@@ -118,7 +118,8 @@ def train_stage2_dp(
     sampler = FrameSampler(frames, rng)
     unlocked = False
 
-    for it in range(0, o.iterations, B):
+    n_iters = o.iterations if o.iterations_stage2 is None else o.iterations_stage2
+    for it in range(0, n_iters, B):
         warm = it < o.skeleton_warm_up
         if not unlocked and it >= o.optimize_template_offsets_iters:
             # staged unlocking + control-node FPS reset (train_rig.py:398-408)

@@ -408,7 +408,7 @@ def rasterize_tiled(
         counts = jnp.minimum(bins.count, max_per_tile).astype(jnp.int32)
         if tile_shard_mesh is not None:
             from jax.sharding import PartitionSpec as _P
-            from jax.experimental.shard_map import shard_map as _shard_map
+            from jax import shard_map as _shard_map
 
             from riggs_tpu.render.pallas_blend import pallas_blend_offset
 
@@ -428,7 +428,7 @@ def rasterize_tiled(
                 mesh=tile_shard_mesh,
                 in_specs=(_P("tile"), _P("tile")),
                 out_specs=_P("tile"),
-                check_rep=False,
+                check_vma=False,
             )(gp_s, counts_s)[:T0]
         else:
             out = pallas_blend(gp, counts, bins.tiles_x, interpret)  # (T, 8, P)

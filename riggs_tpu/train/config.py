@@ -67,6 +67,10 @@ class PipelineConfig:
 class OptimizationConfig:
     # arguments/__init__.py:109-190
     iterations: int = 80_000
+    # stage-2 budget; None = reuse `iterations` (the reference trains both
+    # stages 80k/100k with separate flags — a shared field was a footgun:
+    # run_refpoint.py used to mutate `iterations` between stages)
+    iterations_stage2: int | None = None
     warm_up: int = 3_000
     dynamic_color_warm_up: int = 20_000
     position_lr_init: float = 0.00016

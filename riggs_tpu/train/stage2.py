@@ -482,7 +482,8 @@ def train_stage2(
         )
     densified_at = -1
 
-    for it in range(start_it, o.iterations):
+    n_iters = o.iterations if o.iterations_stage2 is None else o.iterations_stage2
+    for it in range(start_it, n_iters):
         uid = sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
         frame = frames[uid]
         warm = it < o.skeleton_warm_up

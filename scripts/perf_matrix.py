@@ -202,6 +202,193 @@ def run_stages():
         print(f"{tag:24s}: {ms:7.2f} ms fwd+bwd  (compile {comp:.0f}s)", flush=True)
 
 
+def _stage1_setup(capacity, size, node_num, n_init):
+    """A refpoint-shaped stage-1 state + frame WITHOUT the expensive scene
+    build: the step cost is content-independent, so random clouds and a
+    random GT image time identically to the biped scene (232 s saved)."""
+    from riggs_tpu.data.dataset import Frame, SceneData
+    from riggs_tpu.train import stage1 as S1
+    from riggs_tpu.train.config import Config
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (n_init, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n_init, 3)).astype(np.float32)
+    scene = SceneData(
+        train_frames=[], test_frames=[], init_points=pts, init_colors=cols,
+        cameras_extent=2.0,
+    )
+    cfg = Config()
+    cfg.model.capacity = capacity
+    cfg.model.node_num = node_num
+    cfg.pipe.max_per_tile = 768
+    state = S1.init_stage1(jax.random.PRNGKey(0), scene, cfg)
+    cam = make_camera(np.eye(3), np.array([0, 0, 2.5]), size, size, fovx=0.9, fovy=0.9)
+    P = 1024
+    frame = Frame(
+        cam=cam,
+        image=jnp.asarray(rng.uniform(0, 1, (size, size, 3)).astype(np.float32)),
+        alpha_mask=jnp.zeros((size, size)),
+        thinned=jnp.asarray(rng.uniform(0, size, (P, 2)).astype(np.float32)),
+        thinned_mask=jnp.ones(P, bool),
+    )
+    return state, frame, cfg
+
+
+def run_step(small=False):
+    """Decompose the FULL stage-1 phase-B train step (VERDICT r4 item 2).
+
+    The round-4 refpoint run measured 182.74 ms/iter steady at 800²/131k vs
+    20.75 ms rasterizer fwd+bwd — this experiment names where the other
+    ~160 ms go, separating device compute (loss prefixes, adam) from
+    host-loop overhead (per-step lr puts, key splits, the overflow sync) on
+    the tunneled chip, where every host<->device interaction costs ~25-35 ms.
+    Reference step: /root/reference/train_gui.py:1000-1207.
+    """
+    import dataclasses
+
+    from riggs_tpu.camera.camera import project_nodes_2d
+    from riggs_tpu.models import gaussians as G
+    from riggs_tpu.models import node_warp as NW
+    from riggs_tpu.ops.knn import chamfer_distance
+    from riggs_tpu.render.api import render
+    from riggs_tpu.train import losses as L
+    from riggs_tpu.train import optim as O
+    from riggs_tpu.train import stage1 as S1
+
+    capacity, size, nodes, ninit = (
+        (4096, 128, 64, 2048) if small else (131_072, 800, 512, 60_000)
+    )
+    state, frame, cfg = _stage1_setup(capacity, size, nodes, ninit)
+    bg = jnp.zeros(3)
+    gauss_lrs, warp_lrs = S1.stage1_lr_fns(cfg)
+    lrs_gs = S1._to_device_lrs(gauss_lrs(1000))
+    lrs_warp = S1._to_device_lrs(warp_lrs(1000))
+    key = jax.random.PRNGKey(1)
+    lam = jnp.float32(0.1)
+    mpt = cfg.pipe.max_per_tile
+    kw = dict(
+        lambda_chamfer=1e-3, warm=False, active_sh=3, use_chamfer=True,
+        use_motion_loss=False, use_flow_loss=False, lambda_dssim=0.2,
+        max_per_tile=mpt, isotropic=False, tile_ladder=None,
+    )
+
+    # ---- cumulative loss prefixes (device compute) ----------------------
+    params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
+
+    def _warp(p):
+        warp = state.warp.replace_params(p["warp"])
+        gs = state.gs.replace_params(p["gs"])
+        d = NW.warp_forward(
+            warp, jax.lax.stop_gradient(gs.xyz), frame.fid, gs.feature,
+            gs.motion_mask, local_frame=warp.net.local_frame,
+        )
+        return d, gs, warp
+
+    def l_warp(p):
+        d, _, _ = _warp(p)
+        return jnp.sum(d["d_xyz"]) + jnp.sum(d["d_rotation"])
+
+    def _render(p):
+        d, gs, warp = _warp(p)
+        out = render(
+            frame.cam, gs, bg, d_xyz=d["d_xyz"], d_rotation=d["d_rotation"],
+            d_scaling=jnp.zeros_like(d["d_scaling"]), active_sh_degree=3,
+            max_per_tile=mpt,
+        )
+        return d, warp, out
+
+    def l_render_l1(p):
+        _, _, out = _render(p)
+        return L.l1_loss(out["render"], frame.image)
+
+    def l_render_ssim(p):
+        _, _, out = _render(p)
+        return L.photometric_loss(out["render"], frame.image, 0.2)
+
+    def l_arap(p):
+        d, warp, out = _render(p)
+        return L.photometric_loss(out["render"], frame.image, 0.2) + 0.1 * NW.arap_loss(warp, key)
+
+    def l_full(p):
+        d, warp, out = _render(p)
+        loss = L.photometric_loss(out["render"], frame.image, 0.2)
+        loss = loss + 0.1 * NW.arap_loss(warp, key)
+        proj = project_nodes_2d(frame.cam, d["d_nodes"])
+        loss = loss + 1e-3 * chamfer_distance(
+            proj, frame.thinned, y_mask=frame.thinned_mask, norm=1
+        )
+        return loss
+
+    for tag, f in [
+        ("warp fwd+bwd", l_warp),
+        ("+render+L1", l_render_l1),
+        ("+ssim", l_render_ssim),
+        ("+arap", l_arap),
+        ("+chamfer (full loss)", l_full),
+    ]:
+        ms, comp = timed(jax.jit(jax.grad(f)), params, iters=10)
+        print(f"{tag:24s}: {ms:7.2f} ms  (compile {comp:.0f}s)", flush=True)
+
+    # ---- adam + densify-stats (the step's non-loss device work) ---------
+    def opt_only(p):
+        g1, o1 = O.adam_update(p["gs"], state.opt_gs, p["gs"], lrs_gs)
+        g2, o2 = O.adam_update(p["warp"], state.opt_warp, p["warp"], lrs_warp)
+        return g1, o1, g2, o2
+
+    ms, comp = timed(jax.jit(opt_only), params, iters=10)
+    print(f"{'adam (gs+warp)':24s}: {ms:7.2f} ms  (compile {comp:.0f}s)", flush=True)
+
+    # ---- the jitted step: pipelined vs synced vs host-loop --------------
+    def step(st, k):
+        return S1.phase_b_step(st, frame, bg, lrs_gs, lrs_warp, k, lam, lam, **kw)
+
+    t0 = time.time()
+    st, mets = step(state, key)
+    jax.block_until_ready(st)
+    print(f"{'step compile':24s}: {time.time() - t0:7.1f} s", flush=True)
+    try:
+        ma = S1.phase_b_step.lower(
+            state, frame, bg, lrs_gs, lrs_warp, key, lam, lam, **kw
+        ).compile().memory_analysis()
+        print(
+            f"{'step peak memory':24s}: {ma.peak_memory_in_bytes / 2**30:7.2f} GB "
+            f"(args {ma.argument_size_in_bytes / 2**30:.2f} GB, "
+            f"temps {ma.temp_size_in_bytes / 2**30:.2f} GB)",
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover - informational
+        print(f"step memory_analysis unavailable: {e}", flush=True)
+
+    n = 4 if small else 15
+    st = state
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st, mets = step(st, key)
+    jax.block_until_ready(st)
+    print(f"{'step piped (device)':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st2, mets = step(state, key)
+        jax.block_until_ready(st2)
+    print(f"{'step synced':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
+
+    # emulate the train_stage1 host loop exactly: fresh lr puts, a key
+    # split, traced lambda puts and the every-step overflow int() sync
+    t0 = time.perf_counter()
+    k = key
+    for it in range(n):
+        lr1 = S1._to_device_lrs(gauss_lrs(it))
+        lr2 = S1._to_device_lrs(warp_lrs(it))
+        k, sk = jax.random.split(k)
+        st2, mets = S1.phase_b_step(
+            st, frame, bg, lr1, lr2, sk, jnp.asarray(0.1, jnp.float32),
+            jnp.asarray(0.1, jnp.float32), **kw
+        )
+        _ = int(mets["overflow_tiles"])
+    print(f"{'step hostloop (as r4)':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "variants"
     if what == "variants":
@@ -210,8 +397,10 @@ def main():
         run_variants(sys.argv[2:] or None, fwd_only=True)
     elif what == "stages":
         run_stages()
+    elif what == "step":
+        run_step(small="small" in sys.argv[2:])
     else:
-        raise SystemExit(f"unknown experiment {what!r}; use variants|fwd|stages")
+        raise SystemExit(f"unknown experiment {what!r}; use variants|fwd|stages|step")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,9 @@ def mem_peak_gb():
 
 
 def main():
+    # line-buffer stdout FIRST: a timeout-killed run must still leave every
+    # progress line on disk (block-buffered pipes lose everything)
+    sys.stdout.reconfigure(line_buffering=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--capacity", type=int, default=131_072)
@@ -108,6 +111,7 @@ def main():
     # node sampling phase scales with the node-rendering prefix
     o.iterations_node_sampling = int(args.s1a * 0.75)
     o.iterations = args.s1b
+    o.iterations_stage2 = args.s2  # independent stage-2 budget (own field)
     # REAL cadence constants — the prefix sees the same densification
     # pressure per iteration as the full run
     o.densify_from_iter = min(REF_DENSIFY_FROM, max(args.s1b // 6, 200))
@@ -116,9 +120,6 @@ def main():
     o.skeleton_warm_up = min(1_000, max(args.s2 // 10, 50))
     o.optimize_template_offsets_iters = min(15_000, max(args.s2 // 3, 100))
 
-    # line-buffer stdout: a timeout-killed run must still leave the
-    # stage-1 partial report on disk (block-buffered pipes lose everything)
-    sys.stdout.reconfigure(line_buffering=True)
     report = {"size": args.size, "capacity": args.capacity}
 
     t1 = StepTimer()
@@ -135,7 +136,6 @@ def main():
           f"steady, {n_gs} alive gaussians, peak {report['mem_peak_gb_after_s1']} GB")
     print("PARTIAL " + json.dumps(report))  # survives a timeout mid-stage-2
 
-    o.iterations = args.s2 if not args.full else REF_S2  # stage-2 budget (shared field)
     t2 = StepTimer()
     t0 = time.time()
     s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500, step_callback=t2)
