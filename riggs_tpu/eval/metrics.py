@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from riggs_tpu.train.losses import psnr, ssim, _depthwise_conv_same, _gaussian_window
+from riggs_tpu.train.losses import psnr, ssim, _depthwise_conv_same
 
 __all__ = ["psnr", "ssim", "ms_ssim", "LpipsModel", "evaluate_image"]
 
@@ -36,13 +36,12 @@ def _avg_pool2(img: jax.Array) -> jax.Array:
 
 
 def _ssim_cs(img1, img2, window_size=11):
-    w = jnp.asarray(_gaussian_window(window_size))
-    mu1 = _depthwise_conv_same(img1, w)
-    mu2 = _depthwise_conv_same(img2, w)
+    mu1 = _depthwise_conv_same(img1, window_size)
+    mu2 = _depthwise_conv_same(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_conv_same(img1 * img1, w) - mu1_sq
-    s2 = _depthwise_conv_same(img2 * img2, w) - mu2_sq
-    s12 = _depthwise_conv_same(img1 * img2, w) - mu1_mu2
+    s1 = _depthwise_conv_same(img1 * img1, window_size) - mu1_sq
+    s2 = _depthwise_conv_same(img2 * img2, window_size) - mu2_sq
+    s12 = _depthwise_conv_same(img1 * img2, window_size) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     cs = (2 * s12 + C2) / (s1 + s2 + C2)
     ssim_map = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs

@@ -135,7 +135,16 @@ def cal_nn_weight(
     if feature is not None and warp.hyper_dim > 0 and feature.shape[-1] >= warp.hyper_dim:
         q = jnp.concatenate([q, feature[:, : warp.hyper_dim]], axis=-1)
         node_key = jnp.concatenate([node_key, warp.nodes[:, 3:]], axis=-1)
-    nn_dist2, nn_idx = knn(q, node_key, K)
+    # straight-through neighbor distances: the VALUE comes from the knn on
+    # stop-gradient inputs (identical forward numerics), the GRADIENT from a
+    # recompute over only the K selected pairs. Without this the backward
+    # materializes a dense (N, M) cotangent and mirrors the pairwise matmul —
+    # the dominant cost of the full 131k x 512 train step on chip (round-5
+    # step decomposition; d|q-n|^2 flows to node hyper coords AND gaussian
+    # features, both preserved exactly by the recompute).
+    nn_dist2, nn_idx = knn(jax.lax.stop_gradient(q), jax.lax.stop_gradient(node_key), K)
+    d2_re = jnp.sum((q[:, None, :] - node_key[nn_idx]) ** 2, axis=-1)
+    nn_dist2 = nn_dist2 + (d2_re - jax.lax.stop_gradient(d2_re))
     if gs_kernel:
         nn_radius = warp.node_radius[nn_idx]
         w = jnp.exp(-nn_dist2 / (2.0 * nn_radius**2))
@@ -180,37 +189,92 @@ def warp_forward(
     """Blend node residuals onto Gaussians at positions x (time_utils.py:1133-1236).
 
     Returns d_xyz / d_rotation / d_scaling / d_nodes (+None opacity/color).
+
+    TPU-first dense formulation (round 5): instead of gathering the K=3
+    selected node rows per gaussian (whose backward is a scatter-add into the
+    node tables — row-op bound, the dominant cost of the 131k x 512 train
+    step), the blend weights live DENSE over all M nodes with an exact top-K
+    mask, and every blend is an (N, M) @ (M, C) MXU matmul. The masked
+    weights are numerically the cal_nn_weight weights (same kernel, same
+    +1e-7, same normalization); masked entries are exactly 0 so the matmul
+    contributions match the gathered sum up to f32 reassociation.
     """
+    from riggs_tpu.ops.knn import _small_k, pairwise_dist2
+
     x = jax.lax.stop_gradient(x)
-    nn_weight, _, nn_idx = cal_nn_weight(warp, x, feature)
+    M = warp.node_num
+    node_key = jax.lax.stop_gradient(warp.nodes[:, :3])
+    q = x
+    if feature is not None and warp.hyper_dim > 0 and feature.shape[-1] >= warp.hyper_dim:
+        q = jnp.concatenate([q, feature[:, : warp.hyper_dim]], axis=-1)
+        node_key = jnp.concatenate([node_key, warp.nodes[:, 3:]], axis=-1)
+    d2 = pairwise_dist2(q, node_key)  # (N, M); grads ride the MXU matmul
+    _, nn_idx = _small_k(jax.lax.stop_gradient(d2), warp.K)
+
+    # exact top-K mask (union of one-hot columns; selection is stop-grad)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    mask = jnp.zeros(d2.shape, bool)
+    for k in range(warp.K):
+        mask = mask | (cols == nn_idx[:, k : k + 1])
+
+    w = jnp.exp(-d2 / (2.0 * warp.node_radius[None, :] ** 2))
+    if warp.with_node_weight:
+        w = w * warp.node_weight[None, :, 0]
+    w = jnp.where(mask, w + 1e-7, 0.0)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    nn_weight = jnp.take_along_axis(w, nn_idx, axis=-1)  # K-sparse view (viz)
+
     attrs = node_deform(warp, t, band_mask=band_mask)
     node_trans, node_rot, node_scale = attrs["d_xyz"], attrs["d_rotation"], attrs["d_scaling"]
     rot_bias = jnp.asarray(ROT_BIAS)
 
+    # pack every blended channel into ONE (M, C) table -> one MXU matmul
+    chans = [node_trans, node_rot, node_scale]
+    extra = []
+    if attrs.get("d_opacity") is not None:
+        extra.append(("d_opacity", attrs["d_opacity"]))
+    if attrs.get("d_color") is not None:
+        extra.append(("d_color", attrs["d_color"]))
+    chans += [a for _, a in extra]
     if local_frame:
         local_rot = attrs["local_rotation"] + rot_bias
-        Rl = quat_to_rotmat(local_rot)
-        nn_nodes = jax.lax.stop_gradient(warp.nodes[nn_idx, :3])
-        Ax = (
-            jnp.einsum("nkab,nkb->nka", Rl[nn_idx], x[:, None] - nn_nodes)
-            + nn_nodes
-            + node_trans[nn_idx]
-        )
-        translate = jnp.sum(Ax * nn_weight[..., None], axis=1) - x
+        Rl = quat_to_rotmat(local_rot)  # (M, 3, 3)
+        p = jax.lax.stop_gradient(warp.nodes[:, :3])
+        # sum_m w_nm [Rl_m (x_n - p_m) + p_m + t_m]
+        #   = (sum_m w_nm Rl_m) x_n + sum_m w_nm (p_m - Rl_m p_m + t_m)
+        const = p - jnp.einsum("mab,mb->ma", Rl, p) + node_trans
+        chans += [Rl.reshape(M, 9), const]
+    table = jnp.concatenate(chans, axis=-1)
+    blended = jnp.dot(w, table, preferred_element_type=jnp.float32)  # (N, C)
+
+    ofs = 0
+
+    def take(n):
+        nonlocal ofs
+        out = blended[:, ofs : ofs + n]
+        ofs += n
+        return out
+
+    b_trans, b_rot, b_scale = take(3), take(4), take(3)
+    b_extra = {name: take(a.shape[-1]) for name, a in extra}
+
+    if local_frame:
+        WR = take(9).reshape(-1, 3, 3)
+        Wc = take(3)
+        # sum_m w = 1, so subtracting x recovers the residual translation
+        translate = jnp.einsum("nab,nb->na", WR, x) + Wc - x
     else:
-        translate = jnp.sum(node_trans[nn_idx] * nn_weight[..., None], axis=1)
+        translate = b_trans
     translate = translate * motion_mask
 
     deformed_nodes = warp.nodes[:, :3] + node_trans
 
     if warp.d_rot_as_res:
-        rotation = jnp.sum(node_rot[nn_idx] * nn_weight[..., None], axis=1) * motion_mask
+        rotation = b_rot * motion_mask
     else:
-        node_rot = node_rot + rot_bias
-        rotation = (
-            jnp.sum(node_rot[nn_idx] * nn_weight[..., None], axis=1) - rot_bias
-        ) * motion_mask + rot_bias
-    scale = jnp.sum(node_scale[nn_idx] * nn_weight[..., None], axis=1) * motion_mask
+        # blend of (node_rot + bias) = b_rot + bias since sum_m w = 1
+        rotation = b_rot * motion_mask + rot_bias
+    scale = b_scale * motion_mask
 
     out = {
         "d_xyz": translate,
@@ -222,10 +286,8 @@ def warp_forward(
         "d_opacity": None,
         "d_color": None,
     }
-    if attrs.get("d_opacity") is not None:
-        out["d_opacity"] = jnp.sum(attrs["d_opacity"][nn_idx] * nn_weight[..., None], axis=1) * motion_mask
-    if attrs.get("d_color") is not None:
-        out["d_color"] = jnp.sum(attrs["d_color"][nn_idx] * nn_weight[..., None], axis=1) * motion_mask
+    for name, _ in extra:
+        out[name] = b_extra[name] * motion_mask
     return out
 
 

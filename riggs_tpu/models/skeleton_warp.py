@@ -264,6 +264,49 @@ def cal_nn_weight_skeleton(
 # ---------------------------------------------------------------------------
 
 
+def _dense_skin_weights(
+    warp: SkeletonWarp,
+    x: jax.Array,
+    joints: jax.Array | None = None,
+    use_skinning_mlp: bool | jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Dense (N, B) skinning weights over all bones with an exact top-K mask.
+
+    Same kernel/+1e-7/normalization as :func:`cal_nn_weight_skeleton`; masked
+    entries are exactly 0 so (N, B) @ (B, C) blends match the gathered sums
+    up to f32 reassociation (the gathered form's backward is a scatter-add —
+    see deform_by_pose). Returns (w_dense, d2, bone_idx (N, K'))."""
+    from riggs_tpu.ops.knn import _small_k
+
+    use_sm = warp.net.use_skinning_mlp if use_skinning_mlp is None else use_skinning_mlp
+    if warp.weight_mlp is None:
+        use_sm = False
+    mlp_in_graph = not (isinstance(use_sm, bool) and not use_sm)
+    d2 = bone_dist2(warp, jax.lax.stop_gradient(x), joints)
+    B = d2.shape[-1]
+    if warp.net.K > 0 and warp.net.K < B:
+        _, bone_idx = _small_k(jax.lax.stop_gradient(d2), warp.net.K)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        mask = jnp.zeros(d2.shape, bool)
+        for k in range(warp.net.K):
+            mask = mask | (cols == bone_idx[:, k : k + 1])
+    else:
+        bone_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], d2.shape)
+        mask = None
+    radius_b = warp.node_radius[1:]  # per-bone child-joint radius
+    w = jnp.exp(-d2 / (2.0 * radius_b[None, :] ** 2))
+    if mlp_in_graph:
+        offs = skinning_mlp_weights(warp, x)  # (N, B) — already dense
+        w_sm = jnp.float32(use_sm)
+        w = w * (1.0 + w_sm * (offs - 1.0))
+    if mask is not None:
+        w = jnp.where(mask, w + 1e-7, 0.0)
+    else:
+        w = w + 1e-7
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w, d2, bone_idx
+
+
 def deform_by_pose(
     warp: SkeletonWarp,
     x: jax.Array,
@@ -285,14 +328,26 @@ def deform_by_pose(
     use_sm = warp.net.use_skinning_mlp if enable_skinning_mlp is None else enable_skinning_mlp
     x = jax.lax.stop_gradient(x)
     rot_mats = quat_to_rotmat(local_rotation)
-    nn_weight, _, nn_idx = cal_nn_weight_skeleton(warp, x, use_skinning_mlp=use_sm)
     posed_joints, G = forward_kinematics(rot_mats, warp.joints, warp.net.parents)
     Grot = G[:, :3, :3]
     Gtrans = G[:, :3, 3]
     node_rot = rotmat_to_quat(jax.lax.stop_gradient(Grot))
 
-    Ax = jnp.einsum("nkab,nb->nka", Grot[nn_idx], x) + Gtrans[nn_idx]
-    Ax_avg = jnp.sum(Ax * nn_weight[..., None], axis=1)
+    # dense masked skinning (round 5, same reshaping as node_warp.warp_forward):
+    # blend weights live dense over the B bones with an exact top-K mask, so
+    # the LBS average and the quat blend are (N, B) @ (B, C) MXU matmuls —
+    # the gathered form's backward is a scatter-add into the bone tables,
+    # row-op bound over N*K rows.
+    w_dense, _, bone_idx = _dense_skin_weights(warp, x, use_skinning_mlp=use_sm)
+    nn_idx = bone_idx + 1
+    nn_weight = jnp.take_along_axis(w_dense, bone_idx, axis=-1)  # sparse view
+    B = Grot.shape[0] - 1
+    table = jnp.concatenate(
+        [Grot[1:].reshape(B, 9), Gtrans[1:], node_rot[1:]], axis=-1
+    )  # (B, 16)
+    blended = jnp.dot(w_dense, table, preferred_element_type=jnp.float32)
+    WR = blended[:, :9].reshape(-1, 3, 3)
+    Ax_avg = jnp.einsum("nab,nb->na", WR, x) + blended[:, 9:12]
 
     # traced 0/1 weight (same one-compiled-program rationale as the skinning
     # MLP above); a python-bool False keeps the detail MLP out of the graph
@@ -304,7 +359,7 @@ def deform_by_pose(
     Ax_avg = Ax_avg + global_trans + template_offsets
 
     translate = (Ax_avg - x) * motion_mask
-    rotation = jnp.sum(node_rot[nn_idx] * nn_weight[..., None], axis=1) * motion_mask
+    rotation = blended[:, 12:16] * motion_mask
     return {
         "d_xyz": translate,
         "d_rotation": rotation,

@@ -30,6 +30,39 @@ def pairwise_dist2(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
+def _small_k(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """k smallest entries per row of d2 (N, M), ascending, via k iterative
+    (argmin, mask) passes.
+
+    Bit-equal to ``lax.top_k(-d2, k)`` including tie order (argmin picks the
+    first minimal index; masking then surfaces the next one), but each pass is
+    a bandwidth-bound VPU reduce instead of the sort network top_k lowers to
+    on TPU — measured 58.5 -> ~4 ms on the 131k x 512 stage-1 KNN blend
+    (round-5 step decomposition)."""
+    m = d2.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    vals, idxs = [], []
+    cur = d2
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(cols == i[..., None], jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+# above this k, one sort beats k reduce passes
+_ITER_K_MAX = 8
+
+
+def _row_k(d2: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    if k <= _ITER_K_MAX:
+        return _small_k(d2, k)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx
+
+
 def knn(x: jax.Array, y: jax.Array, k: int, chunk: int = 8192) -> tuple[jax.Array, jax.Array]:
     """For each x, the k nearest points in y.
 
@@ -38,18 +71,14 @@ def knn(x: jax.Array, y: jax.Array, k: int, chunk: int = 8192) -> tuple[jax.Arra
     """
     n = x.shape[0]
     if n <= chunk:
-        d2 = pairwise_dist2(x, y)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        return _row_k(pairwise_dist2(x, y), k)
 
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xc = xp.reshape(-1, chunk, x.shape[-1])
 
     def body(xb):
-        d2 = pairwise_dist2(xb, y)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        return _row_k(pairwise_dist2(xb, y), k)
 
     d2c, idxc = jax.lax.map(body, xc)
     return d2c.reshape(-1, k)[:n], idxc.reshape(-1, k)[:n]

@@ -178,6 +178,9 @@ def make_dp_stage2_step(
             opt_skel=opt_skel,
             stats_gs=stats,
             proj_loss=proj_loss,
+            # one dp batch advances the schedule clock by B frames, matching
+            # B sequential single-chip stage2_steps (it+1 each)
+            it=state.it + B,
         )
         return new_state, {
             "loss": loss,

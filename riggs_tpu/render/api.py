@@ -152,6 +152,17 @@ def render(
     }
 
 
+def tier_kwargs(tiers: tuple | None) -> dict:
+    """(max_tiles_per_gaussian, mid_cap, mid_side) -> render() kwargs.
+
+    One static tuple the train steps thread through to enable the tiered
+    bbox enumeration (measured +13%, bench default since r3; wired into
+    training in r5)."""
+    if tiers is None:
+        return {}
+    return dict(max_tiles_per_gaussian=tiers[0], mid_cap=tiers[1], mid_side=tiers[2])
+
+
 def render_auto(
     cam: Camera,
     gs: Gaussians,

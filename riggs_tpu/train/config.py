@@ -61,6 +61,13 @@ class PipelineConfig:
     ladder_buckets: int = 4
     ladder_margin: float = 1.3
     ladder_check_every: int = 100  # overflow-check cadence (each check syncs host<->device)
+    # tiered bbox enumeration (render/binning.py): 2x2 primary window with
+    # mid (4x4-cell) and giant second passes — exact cell unions, ~3x fewer
+    # sorted instances, measured +13% rasterizer fwd+bwd (perf_r3). Round 5
+    # wires it into the TRAIN steps (it was bench-only before).
+    max_tiles_per_gaussian: int = 4
+    mid_cap: int = 8192
+    mid_side: int = 4
 
 
 @dataclass

@@ -3,13 +3,14 @@
 Behavior parity with /root/reference/utils/loss_utils.py (l1/l2/kl, 11x11
 gaussian-window SSIM with same-padding) and /root/reference/utils/
 image_utils.py:30 (PSNR over flattened per-image MSE). Images are (H, W, C)
-or batched (B, H, W, C); SSIM's depthwise convolution maps to
-lax.conv_general_dilated with feature_group_count = C, which XLA lowers to
-MXU-friendly convs.
+or batched (B, H, W, C); SSIM's separable gaussian blur is applied as two
+banded-matrix contractions (MXU matmuls) — an 11-tap depthwise conv lowers
+to a slow VPU shuffle chain on TPU (round-5 step decomposition: ~52 ms ->
+sub-ms for SSIM's five blurs at 800²).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -30,26 +31,37 @@ def psnr(img: jax.Array, gt: jax.Array) -> jax.Array:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
 
 
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+@lru_cache(maxsize=8)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix of the 1D gaussian with zero ('same') padding:
+    row i holds g[j - i + r] for |j - i| <= r. Left-multiplying convolves a
+    column axis with exactly the semantics of a zero-padded depthwise conv."""
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x**2) / (2.0 * sigma**2))
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    g = (g / g.sum()).astype(np.float32)
+    r = window_size // 2
+    T = np.zeros((n, n), np.float32)
+    for o in range(-r, r + 1):
+        if abs(o) >= n:  # window wider than the image (ms-ssim tail scales)
+            continue
+        d = np.full(n - abs(o), g[o + r], np.float32)
+        T += np.diag(d, k=o)
+    return T
 
 
-def _depthwise_conv_same(img: jax.Array, window: jax.Array) -> jax.Array:
-    """img: (B, H, W, C); window: (k, k). Same-padding depthwise conv."""
-    c = img.shape[-1]
-    k = window.shape[0]
-    kernel = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # (k, k, 1, C)
-    return jax.lax.conv_general_dilated(
-        img,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+def _depthwise_conv_same(img: jax.Array, window_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """img: (B, H, W, C) -> zero-padded gaussian blur, as two MXU matmuls.
+
+    The gaussian window is separable, and an 11-tap depthwise conv lowers to
+    a VPU shuffle-multiply chain on TPU (measured ~52 ms fwd+bwd for SSIM's
+    five blurs at 800² — round-5 step decomposition). Contracting with banded
+    (H, H)/(W, W) matrices instead runs on the MXU: ~1.5 GFLOP per blur,
+    sub-ms, numerically the same zero-padded convolution."""
+    h, w = img.shape[1], img.shape[2]
+    Th = jnp.asarray(_band_matrix(h, window_size, sigma))
+    Tw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    out = jnp.einsum("hH,bHwc->bhwc", Th, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("wW,bhWc->bhwc", Tw, out, preferred_element_type=jnp.float32)
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
@@ -57,13 +69,12 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     squeeze = img1.ndim == 3
     if squeeze:
         img1, img2 = img1[None], img2[None]
-    w = jnp.asarray(_gaussian_window(window_size))
-    mu1 = _depthwise_conv_same(img1, w)
-    mu2 = _depthwise_conv_same(img2, w)
+    mu1 = _depthwise_conv_same(img1, window_size)
+    mu2 = _depthwise_conv_same(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_conv_same(img1 * img1, w) - mu1_sq
-    s2 = _depthwise_conv_same(img2 * img2, w) - mu2_sq
-    s12 = _depthwise_conv_same(img1 * img2, w) - mu1_mu2
+    s1 = _depthwise_conv_same(img1 * img1, window_size) - mu1_sq
+    s2 = _depthwise_conv_same(img2 * img2, window_size) - mu2_sq
+    s12 = _depthwise_conv_same(img1 * img2, window_size) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
     return jnp.mean(ssim_map)

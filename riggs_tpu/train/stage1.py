@@ -32,7 +32,7 @@ from riggs_tpu.models import node_warp as NW
 from riggs_tpu.models.deform_mlp import DeformNetworkDef, apply_deform_network
 from riggs_tpu.ops.fps import farthest_point_sample
 from riggs_tpu.ops.knn import chamfer_distance
-from riggs_tpu.render.api import render
+from riggs_tpu.render.api import render, tier_kwargs
 from riggs_tpu.train import losses as L
 from riggs_tpu.train import optim as O
 from riggs_tpu.train import schedule as S
@@ -51,6 +51,11 @@ class Stage1State:
     opt_warp: O.AdamState
     stats_gs: G.DensifyStats
     stats_node: G.DensifyStats
+    # device-side iteration counter: the auto step functions derive every
+    # lr/lambda schedule and the per-step RNG key from it ON DEVICE, so the
+    # train loop ships zero scalars per step (each host->device put costs
+    # ~25-35 ms over the tunneled chip — round-5 measurement)
+    it: jax.Array = dataclasses.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def init_stage1(
@@ -149,6 +154,169 @@ def _to_device_lrs(d):
     return jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), d)
 
 
+def stage1_lr_fns_jit(cfg: Config):
+    """Traced-step twin of :func:`stage1_lr_fns`: each returned fn maps a
+    device iteration counter to a dict of on-device lr scalars, so the whole
+    schedule lives inside the compiled step (zero per-step host puts)."""
+    o = cfg.opt
+    deform_init = o.position_lr_init * 5.0 * o.deform_lr_scale
+    mlp_sched = S.expon_lr_jit(
+        deform_init,
+        o.position_lr_final * o.deform_lr_scale,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.deform_lr_max_steps,
+    )
+    gs_xyz = S.expon_lr_jit(
+        o.position_lr_init,
+        o.position_lr_final,
+        lr_delay_mult=o.position_lr_delay_mult,
+        max_steps=o.position_lr_max_steps,
+    )
+
+    def gauss_lrs(it):
+        c = lambda v: jnp.float32(v)
+        return {
+            "xyz": gs_xyz(it),
+            "f_dc": c(o.feature_lr),
+            "f_rest": c(o.feature_lr / 20.0),
+            "opacity": c(o.opacity_lr),
+            "scaling": c(o.scaling_lr),
+            "rotation": c(o.rotation_lr),
+            "feature": c(o.feature_lr),
+        }
+
+    def warp_lrs(it):
+        # reference quirk (deform_model.py:60-65): only the mlp group is
+        # rescheduled; the nodes group keeps its initial lr forever.
+        return {
+            "mlp": mlp_sched(it),
+            "nodes": jnp.float32(deform_init),
+            "radius": jnp.float32(deform_init),
+            "weight": jnp.float32(deform_init),
+        }
+
+    return gauss_lrs, warp_lrs
+
+
+def make_phase_a_auto(cfg: Config, time_interval: float):
+    """Phase-A step with every schedule on device (see Stage1State.it).
+
+    The host passes only (state, frame, bg, base_key): lrs, the warmup
+    detach, the chamfer unlock, regularizer gating and the step RNG are all
+    computed from ``state.it`` inside ONE compiled program."""
+    gauss_lrs_j, warp_lrs_j = stage1_lr_fns_jit(cfg)
+    o = cfg.opt
+    no_arap = o.no_arap_loss
+    p = cfg.pipe
+    tiers = (p.max_tiles_per_gaussian, p.mid_cap, p.mid_side)
+
+    @partial(jax.jit, static_argnames=("lambda_dssim", "max_per_tile"))
+    def step(state, frame, bg, sk, lambda_dssim=0.2, max_per_tile=256):
+        # sk comes from the host-maintained split chain: a key is a device
+        # array (no transfer), and preserving the round-4 stream keeps every
+        # RNG-sensitive fixture (skeleton topology &c.) on its pinned path
+        it = state.it
+        new_state, metrics = phase_a_step(
+            state, frame, bg, gauss_lrs_j(it), warp_lrs_j(it), sk, time_interval,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            detach_dxyz=it < o.node_warm_up,
+            use_chamfer=it > o.iterations_node_sampling,
+            use_reg=(it > o.node_warm_up) if not no_arap else False,
+            lambda_dssim=lambda_dssim,
+            max_per_tile=max_per_tile,
+            tiers=tiers,
+        )
+        return dataclasses.replace(new_state, it=it + 1), metrics
+
+    return step
+
+
+def make_phase_ref_auto(cfg: Config):
+    """ZJU reference-points phase-A step with on-device warp lrs."""
+    _, warp_lrs_j = stage1_lr_fns_jit(cfg)
+    o = cfg.opt
+
+    @partial(jax.jit, static_argnames=("use_chamfer", "max_per_tile"))
+    def step(state, frame, bg, use_chamfer=True, max_per_tile=1024):
+        it = state.it
+        new_state, metrics = phase_ref_step(
+            state, frame, bg, warp_lrs_j(it),
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            use_chamfer=use_chamfer, max_per_tile=max_per_tile,
+        )
+        return dataclasses.replace(new_state, it=it + 1), metrics
+
+    return step
+
+
+def make_phase_b_auto(cfg: Config):
+    """Phase-B step with every schedule on device: lrs, lambda_arap/motion/
+    flow landmarks, SH warmup, the warm-up detach and the step RNG all derive
+    from ``state.it`` in-jit. The remaining static args are per-RUN constants
+    (scene payloads, rasterizer shape), so the whole phase compiles ONCE per
+    ladder refit instead of per schedule boundary."""
+    gauss_lrs_j, warp_lrs_j = stage1_lr_fns_jit(cfg)
+    o = cfg.opt
+    p = cfg.pipe
+    tiers = (p.max_tiles_per_gaussian, p.mid_cap, p.mid_side)
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "use_chamfer",
+            "use_motion_loss",
+            "use_flow_loss",
+            "lambda_dssim",
+            "max_per_tile",
+            "isotropic",
+            "tile_ladder",
+        ),
+    )
+    def step(
+        state,
+        frame,
+        bg,
+        sk,
+        use_chamfer=False,
+        use_motion_loss=False,
+        use_flow_loss=False,
+        lambda_dssim=0.2,
+        max_per_tile=1024,
+        isotropic=False,
+        tile_ladder=None,
+    ):
+        # sk: host-maintained split chain (device array, no transfer) — see
+        # make_phase_a_auto
+        it = state.it
+        lam_arap = S.landmark_interpolate_jit(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
+        lam_motion = S.landmark_interpolate_jit(
+            o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, "log"
+        )
+        lam_flow = (
+            S.landmark_interpolate_jit(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
+            if use_flow_loss
+            else 0.0
+        )
+        new_state, metrics = phase_b_step(
+            state, frame, bg, gauss_lrs_j(it), warp_lrs_j(it), sk,
+            lam_arap, lam_motion, lambda_flow=lam_flow,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            warm=it < o.warm_up,
+            active_sh=jnp.minimum(it // o.oneupSHdegree_step, cfg.model.sh_degree),
+            use_chamfer=use_chamfer,
+            use_motion_loss=use_motion_loss,
+            use_flow_loss=use_flow_loss,
+            lambda_dssim=lambda_dssim,
+            max_per_tile=max_per_tile,
+            isotropic=isotropic,
+            tile_ladder=tile_ladder,
+            tiers=tiers,
+        )
+        return dataclasses.replace(new_state, it=it + 1), metrics
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Phase A: node-as-gaussians rendering
 # ---------------------------------------------------------------------------
@@ -156,7 +324,7 @@ def _to_device_lrs(d):
 
 @partial(
     jax.jit,
-    static_argnames=("lambda_dssim", "max_per_tile"),
+    static_argnames=("lambda_dssim", "max_per_tile", "tiers"),
 )
 def phase_a_step(
     state: Stage1State,
@@ -172,6 +340,7 @@ def phase_a_step(
     use_reg: bool | jax.Array = True,
     lambda_dssim: float = 0.2,
     max_per_tile: int = 256,
+    tiers: tuple | None = None,
 ):
     """The detach/chamfer/reg toggles are TRACED 0/1 weights, not static
     args: the whole phase-A schedule (warmup detach, chamfer after node
@@ -201,6 +370,7 @@ def phase_a_step(
             active_sh_degree=0,
             mean2d_bias=mean2d_bias,
             max_per_tile=max_per_tile,
+            **tier_kwargs(tiers),
         )
         loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
         aux = {"img_loss": loss}
@@ -430,6 +600,7 @@ def stage1_frame_loss(
     max_per_tile: int = 1024,
     isotropic: bool = False,
     tile_ladder: tuple | None = None,
+    tiers: tuple | None = None,
 ):
     """Stage-1 phase-B per-frame loss (train_gui.py:1025-1145 semantics) —
     shared by the single-chip ``phase_b_step`` and the frame-parallel
@@ -468,6 +639,7 @@ def stage1_frame_loss(
         mean2d_bias=mean2d_bias,
         max_per_tile=max_per_tile,
         tile_ladder=tile_ladder,
+        **tier_kwargs(tiers),
     )
     loss = L.photometric_loss(out["render"], frame.image, lambda_dssim)
     aux = {"img_loss": loss}
@@ -521,6 +693,7 @@ def stage1_frame_loss(
             detach_scale=True,
             detach_opacity=True,
             max_per_tile=max_per_tile,
+            **tier_kwargs(tiers),
         )
         loss = loss + lambda_motion * L.l1_loss(mout["render"][..., 0], frame.alpha_mask)
     if frame.thinned is not None:
@@ -540,6 +713,7 @@ def stage1_frame_loss(
         "max_per_tile",
         "isotropic",
         "tile_ladder",
+        "tiers",
     ),
 )
 def phase_b_step(
@@ -562,6 +736,7 @@ def phase_b_step(
     max_per_tile: int = 1024,
     isotropic: bool = False,
     tile_ladder: tuple | None = None,
+    tiers: tuple | None = None,
 ):
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
 
@@ -572,6 +747,7 @@ def phase_b_step(
             use_chamfer=use_chamfer, use_motion_loss=use_motion_loss,
             use_flow_loss=use_flow_loss, lambda_dssim=lambda_dssim,
             max_per_tile=max_per_tile, isotropic=isotropic, tile_ladder=tile_ladder,
+            tiers=tiers,
         )
 
     params = {"gs": state.gs.params_dict(), "warp": state.warp.params_dict()}
@@ -617,7 +793,6 @@ def train_stage1(
     key = jax.random.PRNGKey(seed)
     key, ik = jax.random.split(key)
     state = init_stage1(ik, scene, cfg)
-    gauss_lrs, warp_lrs = stage1_lr_fns(cfg)
     bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
     rng = np.random.default_rng(seed)
     frames = scene.train_frames
@@ -628,6 +803,12 @@ def train_stage1(
     sampler = FrameSampler(frames, rng)
 
     # ---- phase A --------------------------------------------------------
+    # zero-host-traffic steps: all schedules derive from state.it on device
+    # (each per-step scalar put costs ~25-35 ms over the tunneled chip); the
+    # RNG keeps the host split chain (device arrays, no transfer) so streams
+    # match the pre-refactor trainer exactly
+    step_a = make_phase_a_auto(cfg, ti)
+    step_ref = make_phase_ref_auto(cfg)
     use_ref_points = frames[0].reference_points is not None
     for it in range(o.iterations_node_rendering):
         frame = frames[
@@ -639,17 +820,13 @@ def train_stage1(
                 warmup_until=o.node_warm_up if o.progressive_train_node else 0,
             )
         ]
-        key, sk = jax.random.split(key)
-        lrs_node = _to_device_lrs(gauss_lrs(it))
-        lrs_warp = _to_device_lrs(warp_lrs(it))
+        key, sk = jax.random.split(key)  # before the branch: round-4 stream order
         if use_ref_points:
             # ZJU path: SMPL-prior supervision replaces node rendering
-            state, metrics = phase_ref_step(
+            state, metrics = step_ref(
                 state,
                 frame,
                 bg,
-                lrs_warp,
-                lambda_chamfer=o.lambda_deformed_node_prjection,
                 use_chamfer=frame.thinned is not None,
                 max_per_tile=cfg.pipe.max_per_tile,
             )
@@ -658,18 +835,11 @@ def train_stage1(
                 m = history[-1][2]
                 print(f"[A-ref {it}] loss={m['loss']:.5f}")
             continue
-        state, metrics = phase_a_step(
+        state, metrics = step_a(
             state,
             frame,
             bg,
-            lrs_node,
-            lrs_warp,
             sk,
-            ti,
-            lambda_chamfer=o.lambda_deformed_node_prjection,
-            detach_dxyz=it < o.node_warm_up,
-            use_chamfer=it > o.iterations_node_sampling,
-            use_reg=it > o.node_warm_up and not o.no_arap_loss,
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
         )
@@ -716,29 +886,36 @@ def train_stage1(
             n_buckets=cfg.pipe.ladder_buckets, margin=cfg.pipe.ladder_margin
         )
     densified_at = -1
+    # phase-B schedules restart at 0: reset the device-side counter
+    state = dataclasses.replace(state, it=jnp.zeros((), jnp.int32))
+    step_b = make_phase_b_auto(cfg)
+    use_chamfer = frames[0].thinned is not None
+    use_motion = o.gt_alpha_mask_as_dynamic_mask and frames[0].alpha_mask is not None
+    # overflow is checked EVERY step but read ONE step late: the d2h sync of
+    # step N-1's scalar overlaps step N's execution, keeping the device
+    # pipeline full (a blocking same-step read costs a full tunnel round
+    # trip per iteration). A stale ladder therefore truncates at most two
+    # steps before the refit lands — still never silent.
+    prev = None  # (it, metrics) of the previous step
     for it in range(o.iterations):
         fidx = sampler.sample(
             it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps
         )
         frame = frames[fidx]
-        key, sk = jax.random.split(key)
-        lam_arap = S.landmark_interpolate(NW.LAMBDA_ARAP_LANDMARKS, NW.LAMBDA_ARAP_STEPS, it)
-        lam_motion = S.landmark_interpolate(
-            o.lambda_motion_mask_landmarks, o.lambda_motion_mask_steps, it, interpolation="log"
-        )
-        lam_flow = S.landmark_interpolate(o.lambda_optical_landmarks, o.lambda_optical_steps, it)
         # flow scenes keep ONE jit signature: the frame always carries flow
         # arrays (zeros when this step draws no partner) and the loss is
         # gated by the traced lam_flow / flow_mask, not by pytree structure
-        has_flow = False
         if flow_store is not None:
             sampled = None
-            if it >= o.warm_up and lam_flow > 0:
+            lam_flow_h = S.landmark_interpolate(
+                o.lambda_optical_landmarks, o.lambda_optical_steps, it
+            )
+            if it >= o.warm_up and lam_flow_h > 0:
                 sampled = flow_store.sample(fidx, rng, frame.cam.height, frame.cam.width)
             if sampled is not None:
                 fl, fm, pfid = sampled
-                has_flow = True
             else:
+                # zero mask kills the flow term exactly (m == 0 everywhere)
                 fl = np.zeros((frame.cam.height, frame.cam.width, 2), np.float32)
                 fm = np.zeros((frame.cam.height, frame.cam.width), np.float32)
                 pfid = float(frame.fid)
@@ -748,40 +925,31 @@ def train_stage1(
                 flow_mask=jnp.asarray(fm),
                 flow_partner_fid=jnp.asarray(pfid, jnp.float32),
             )
-        state, metrics = phase_b_step(
+        key, sk = jax.random.split(key)
+        state, metrics = step_b(
             state,
             frame,
             bg,
-            _to_device_lrs(gauss_lrs(it)),
-            _to_device_lrs(warp_lrs(it)),
             sk,
-            jnp.asarray(lam_arap, jnp.float32),
-            jnp.asarray(lam_motion, jnp.float32),
-            lambda_flow=jnp.asarray(lam_flow if has_flow else 0.0, jnp.float32),
-            lambda_chamfer=o.lambda_deformed_node_prjection,
-            warm=it < o.warm_up,
-            active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
-            use_chamfer=frames[0].thinned is not None,
-            use_motion_loss=o.gt_alpha_mask_as_dynamic_mask
-            and frames[0].alpha_mask is not None,
+            use_chamfer=use_chamfer,
+            use_motion_loss=use_motion,
             use_flow_loss=flow_store is not None,
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
             tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
-        if ladder_pol is not None:
-            # overflow is checked EVERY step (one scalar sync): a stale ladder
-            # must never truncate renders for longer than the step that
-            # detects it (ADVICE r3 #1)
-            overflow = int(metrics["overflow_tiles"])
+        if ladder_pol is not None and prev is not None:
+            p_it, p_metrics = prev
+            overflow = int(p_metrics["overflow_tiles"])
             if (
                 ladder_pol.ladder is None
                 or overflow > 0
-                or it % cfg.pipe.ladder_check_every == 0
-                or it == densified_at + 1
+                or p_it % cfg.pipe.ladder_check_every == 0
+                or p_it == densified_at + 1
             ):
-                ladder_pol.observe(metrics["tile_counts"], overflow)
+                ladder_pol.observe(p_metrics["tile_counts"], overflow)
+        prev = (it, metrics)
         node_dp = (
             o.node_enable_densify_prune
             and o.node_densify_from_iter < it < o.node_densify_until_iter
@@ -820,6 +988,8 @@ def train_stage1(
         if step_callback is not None:
             step_callback(state, it)
     if ladder_pol is not None:
+        if prev is not None:  # flush the last step's delayed overflow check
+            ladder_pol.observe(prev[1]["tile_counts"], int(prev[1]["overflow_tiles"]))
         # final ladder telemetry (refit count under densification is a key
         # operating-point health signal — BASELINE.md)
         print(f"[S1 ladder] refits={ladder_pol.refits} ladder={ladder_pol.ladder}")

@@ -34,7 +34,7 @@ from riggs_tpu.models import node_warp as NW
 from riggs_tpu.models import skeleton_warp as SW
 from riggs_tpu.ops.fps import farthest_point_sample
 from riggs_tpu.ops.knn import chamfer_distance
-from riggs_tpu.render.api import render
+from riggs_tpu.render.api import render, tier_kwargs
 from riggs_tpu.skeleton.extract import obtain_skeleton_tree
 from riggs_tpu.train import losses as L
 from riggs_tpu.train import optim as O
@@ -52,6 +52,9 @@ class Stage2State:
     opt_skel: O.AdamState
     stats_gs: G.DensifyStats
     proj_loss: jax.Array  # (F,) per-frame chamfer history for robust weighting
+    # device-side iteration counter (see Stage1State.it): the auto step
+    # derives every schedule from it on device; stage2_step increments it
+    it: jax.Array = dataclasses.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 @dataclasses.dataclass
@@ -205,6 +208,7 @@ def stage2_frame_loss(
     isotropic: bool = False,
     tile_shard_mesh=None,
     tile_ladder: tuple | None = None,
+    tiers: tuple | None = None,
 ):
     """Full per-frame stage-2 loss (render_and_cal_loss, train_rig.py:416-515).
 
@@ -266,6 +270,7 @@ def stage2_frame_loss(
         max_per_tile=max_per_tile,
         tile_shard_mesh=tile_shard_mesh,
         tile_ladder=tile_ladder,
+        **tier_kwargs(tiers),
     )
     # warm is a traced 0/1 weight: warmup distills toward the precomputed
     # node-warp deformation, the main phase trains photometric — one compiled
@@ -282,7 +287,7 @@ def stage2_frame_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("lambda_dssim", "max_per_tile", "isotropic", "tile_ladder"),
+    static_argnames=("lambda_dssim", "max_per_tile", "isotropic", "tile_ladder", "tiers"),
 )
 def stage2_step(
     state: Stage2State,
@@ -306,6 +311,7 @@ def stage2_step(
     max_per_tile: int = 1024,
     isotropic: bool = False,
     tile_ladder: tuple | None = None,
+    tiers: tuple | None = None,
 ):
     m2b = jnp.zeros_like(state.gs.xyz[:, :2])
 
@@ -325,6 +331,7 @@ def stage2_step(
             max_per_tile=max_per_tile,
             isotropic=isotropic,
             tile_ladder=tile_ladder,
+            tiers=tiers,
         )
 
     params = {"gs": state.gs.params_dict(), "skel": state.skel.params_dict()}
@@ -353,6 +360,7 @@ def stage2_step(
         opt_skel=opt_skel,
         stats_gs=stats,
         proj_loss=proj_loss,
+        it=state.it + 1,
     )
     metrics = {"loss": loss, "psnr": L.psnr(out["render"], frame.image), "n_gs": state.gs.num_alive}
     metrics.update(aux)
@@ -362,6 +370,82 @@ def stage2_step(
     metrics["overflow_rect"] = out["overflow_rect"]
     metrics["tile_counts"] = out["tile_counts"]
     return new_state, metrics
+
+
+def make_stage2_auto(cfg: Config, template_idx: int):
+    """Stage-2 step with every schedule on device (see Stage1State.it): lrs,
+    the skeleton warmup boundary, staged unlock, SH warmup and the template-
+    frame lambda boost all derive from ``state.it`` and a device-resident
+    ``uid`` in-jit. The host loop ships ZERO scalars per step — each put
+    costs ~25-35 ms over the tunneled chip (round-5 measurement)."""
+    o = cfg.opt
+    m = cfg.model
+    pipe = cfg.pipe
+    tiers = (pipe.max_tiles_per_gaussian, pipe.mid_cap, pipe.mid_side)
+    gs_lr_j = S.expon_lr_jit(
+        o.position_lr_init, o.position_lr_final,
+        lr_delay_mult=o.position_lr_delay_mult, max_steps=o.position_lr_max_steps,
+    )
+    skel_lr_j = S.expon_lr_jit(
+        o.deform_mlp_lr_init, o.deform_mlp_lr_final,
+        lr_delay_mult=o.deform_mlp_lr_delay_mult, max_steps=o.deform_mlp_lr_max_steps,
+    )
+
+    @partial(
+        jax.jit,
+        static_argnames=("use_chamfer", "lambda_dssim", "max_per_tile", "isotropic", "tile_ladder"),
+    )
+    def step(
+        state,
+        frame,
+        uid,
+        bg,
+        pre_d_xyz_all,
+        pre_d_joints_all,
+        use_chamfer=True,
+        lambda_dssim=0.2,
+        max_per_tile=1024,
+        isotropic=False,
+        tile_ladder=None,
+    ):
+        it = state.it
+        warm = it < o.skeleton_warm_up
+        enable_to = (it >= o.optimize_template_offsets_iters) if m.use_template_offsets else False
+        enable_sm = (it > o.optimize_template_offsets_iters) if m.use_skinning_weight_mlp else False
+        is_t = uid == template_idx
+        lam_to = o.lambda_template_offsets * jnp.where(is_t, 1e3, 1.0)
+        lam_tf = jnp.where(is_t, o.lambda_template_fixed, 0.0)
+        c = lambda v: jnp.float32(v)
+        lrs_gs = {
+            "xyz": gs_lr_j(it),
+            "f_dc": c(o.feature_lr),
+            "f_rest": c(o.feature_lr / 20.0),
+            "opacity": c(o.opacity_lr),
+            "scaling": c(o.scaling_lr),
+            "rotation": c(o.rotation_lr),
+            "feature": c(o.feature_lr),
+        }
+        lr_s = jnp.where(
+            warm, jnp.float32(5e-4), skel_lr_j(jnp.maximum(it - o.skeleton_warm_up, 0))
+        )
+        return stage2_step(
+            state, frame, uid, bg, lrs_gs, lr_s,
+            pre_d_xyz_all[uid], pre_d_joints_all[uid], lam_to, lam_tf,
+            lambda_chamfer=o.lambda_deformed_node_prjection,
+            lambda_rendering=o.lambda_rendering_image,
+            warm=warm,
+            active_sh=jnp.minimum(it // o.oneupSHdegree_step, m.sh_degree),
+            enable_to=enable_to,
+            enable_sm=enable_sm,
+            use_chamfer=use_chamfer,
+            lambda_dssim=lambda_dssim,
+            max_per_tile=max_per_tile,
+            isotropic=isotropic,
+            tile_ladder=tile_ladder,
+            tiers=tiers,
+        )
+
+    return step
 
 
 @partial(jax.jit, static_argnames=("max_per_tile", "max_tiles_per_gaussian"))
@@ -449,20 +533,15 @@ def train_stage2(
     bg = jnp.ones(3) if scene.white_background else jnp.zeros(3)
     rng = np.random.default_rng(seed)
 
-    gs_lr = S.expon_lr(
-        o.position_lr_init,
-        o.position_lr_final,
-        lr_delay_mult=o.position_lr_delay_mult,
-        max_steps=o.position_lr_max_steps,
-    )
-    skel_lr = S.expon_lr(
-        o.deform_mlp_lr_init,
-        o.deform_mlp_lr_final,
-        lr_delay_mult=o.deform_mlp_lr_delay_mult,
-        max_steps=o.deform_mlp_lr_max_steps,
-    )
     pre_d_xyz = jnp.asarray(info.d_xyz)
     pre_d_joints = jnp.asarray(info.d_joints)
+    # device-resident uid scalars: the step gathers pre_d_* and computes the
+    # template lambdas from uid in-jit, so frame selection ships no scalars
+    uids_dev = [jnp.asarray(i, jnp.int32) for i in range(len(frames))]
+    step_auto = make_stage2_auto(cfg, int(info.template_idx))
+    # align the device-side counter with the host loop (fresh init or resume)
+    state = dataclasses.replace(state, it=jnp.asarray(start_it, jnp.int32))
+    use_chamfer_run = frames[0].thinned is not None and o.lambda_deformed_node_prjection > 1e-8
     history = []
     best_psnr = -1.0
     from riggs_tpu.train.sampling import FrameSampler
@@ -483,6 +562,9 @@ def train_stage2(
     densified_at = -1
 
     n_iters = o.iterations if o.iterations_stage2 is None else o.iterations_stage2
+    # overflow is checked EVERY step but read ONE step late: the d2h sync of
+    # step N-1's scalar overlaps step N's execution (see train_stage1)
+    prev = None  # (it, metrics) of the previous step
     for it in range(start_it, n_iters):
         uid = sampler.sample(it, o.progressive_train, o.progressive_stage_ratio, o.progressive_stage_steps)
         frame = frames[uid]
@@ -493,56 +575,30 @@ def train_stage2(
             state = dataclasses.replace(
                 state, skel=dataclasses.replace(state.skel, control_nodes=state.gs.xyz[idx])
             )
-        enable_to = cfg.model.use_template_offsets and it >= o.optimize_template_offsets_iters
-        enable_sm = cfg.model.use_skinning_weight_mlp and it > o.optimize_template_offsets_iters
-
-        lam_to = o.lambda_template_offsets * (1e3 if uid == info.template_idx else 1.0)
-        lam_tf = o.lambda_template_fixed if uid == info.template_idx else 0.0
-        lrs_gs = {
-            "xyz": jnp.asarray(gs_lr(it), jnp.float32),
-            "f_dc": jnp.asarray(o.feature_lr),
-            "f_rest": jnp.asarray(o.feature_lr / 20.0),
-            "opacity": jnp.asarray(o.opacity_lr),
-            "scaling": jnp.asarray(o.scaling_lr),
-            "rotation": jnp.asarray(o.rotation_lr),
-            "feature": jnp.asarray(o.feature_lr),
-        }
-        lr_s = 5e-4 if warm else skel_lr(max(0, it - o.skeleton_warm_up))
-        state, metrics = stage2_step(
+        state, metrics = step_auto(
             state,
             frame,
-            jnp.asarray(uid, jnp.int32),
+            uids_dev[uid],
             bg,
-            lrs_gs,
-            jnp.asarray(lr_s, jnp.float32),
-            pre_d_xyz[uid],
-            pre_d_joints[uid],
-            jnp.asarray(lam_to, jnp.float32),
-            jnp.asarray(lam_tf, jnp.float32),
-            lambda_chamfer=o.lambda_deformed_node_prjection,
-            lambda_rendering=o.lambda_rendering_image,
-            warm=warm,
-            active_sh=min(it // o.oneupSHdegree_step, cfg.model.sh_degree),
-            enable_to=enable_to,
-            enable_sm=enable_sm,
-            use_chamfer=frames[0].thinned is not None and o.lambda_deformed_node_prjection > 1e-8,
+            pre_d_xyz,
+            pre_d_joints,
+            use_chamfer=use_chamfer_run,
             lambda_dssim=o.lambda_dssim,
             max_per_tile=cfg.pipe.max_per_tile,
             isotropic=cfg.model.use_isotropic_gs,
             tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
         )
-        if ladder_pol is not None:
-            # overflow is checked EVERY step (one scalar sync): a stale ladder
-            # must never truncate renders for longer than the step that
-            # detects it (ADVICE r3 #1)
-            overflow = int(metrics["overflow_tiles"])
+        if ladder_pol is not None and prev is not None:
+            p_it, p_metrics = prev
+            overflow = int(p_metrics["overflow_tiles"])
             if (
                 ladder_pol.ladder is None
                 or overflow > 0
-                or it % cfg.pipe.ladder_check_every == 0
-                or it == densified_at + 1
+                or p_it % cfg.pipe.ladder_check_every == 0
+                or p_it == densified_at + 1
             ):
-                ladder_pol.observe(metrics["tile_counts"], overflow)
+                ladder_pol.observe(p_metrics["tile_counts"], overflow)
+        prev = (it, metrics)
         if (
             not warm
             and o.gs_densification_iterations < it < o.densify_until_iter
@@ -582,5 +638,7 @@ def train_stage2(
         if step_callback is not None:
             step_callback(state, it)
     if ladder_pol is not None:
+        if prev is not None:  # flush the last step's delayed overflow check
+            ladder_pol.observe(prev[1]["tile_counts"], int(prev[1]["overflow_tiles"]))
         print(f"[S2 ladder] refits={ladder_pol.refits} ladder={ladder_pol.ladder}")
     return state, info, history

@@ -266,10 +266,12 @@ def run_step(small=False):
     key = jax.random.PRNGKey(1)
     lam = jnp.float32(0.1)
     mpt = cfg.pipe.max_per_tile
+    pp = cfg.pipe
+    tiers = (pp.max_tiles_per_gaussian, pp.mid_cap, pp.mid_side)
     kw = dict(
         lambda_chamfer=1e-3, warm=False, active_sh=3, use_chamfer=True,
         use_motion_loss=False, use_flow_loss=False, lambda_dssim=0.2,
-        max_per_tile=mpt, isotropic=False, tile_ladder=None,
+        max_per_tile=mpt, isotropic=False, tile_ladder=None, tiers=tiers,
     )
 
     # ---- cumulative loss prefixes (device compute) ----------------------
@@ -290,10 +292,12 @@ def run_step(small=False):
 
     def _render(p):
         d, gs, warp = _warp(p)
+        from riggs_tpu.render.api import tier_kwargs
+
         out = render(
             frame.cam, gs, bg, d_xyz=d["d_xyz"], d_rotation=d["d_rotation"],
             d_scaling=jnp.zeros_like(d["d_scaling"]), active_sh_degree=3,
-            max_per_tile=mpt,
+            max_per_tile=mpt, **tier_kwargs(tiers),
         )
         return d, warp, out
 
@@ -373,8 +377,8 @@ def run_step(small=False):
         jax.block_until_ready(st2)
     print(f"{'step synced':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
 
-    # emulate the train_stage1 host loop exactly: fresh lr puts, a key
-    # split, traced lambda puts and the every-step overflow int() sync
+    # emulate the round-4 host loop exactly: fresh lr puts, a key split,
+    # traced lambda puts and the every-step overflow int() sync
     t0 = time.perf_counter()
     k = key
     for it in range(n):
@@ -387,6 +391,32 @@ def run_step(small=False):
         )
         _ = int(mets["overflow_tiles"])
     print(f"{'step hostloop (as r4)':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
+
+    # the round-5 auto loop as train_stage1 now runs it: on-device schedules
+    # (state.it), split-chain keys, overflow read one step delayed
+    import dataclasses as dc
+
+    step_auto = S1.make_phase_b_auto(cfg)
+    kwa = dict(
+        use_chamfer=True, use_motion_loss=False, use_flow_loss=False,
+        lambda_dssim=0.2, max_per_tile=mpt, isotropic=False, tile_ladder=None,
+    )
+    cur = dc.replace(state, it=jnp.zeros((), jnp.int32))
+    t0 = time.time()
+    st2, mets = step_auto(cur, frame, bg, key, **kwa)
+    jax.block_until_ready(st2)
+    print(f"{'auto step compile':24s}: {time.time() - t0:7.1f} s", flush=True)
+    prev_m = None
+    k = key
+    t0 = time.perf_counter()
+    for it in range(n):
+        k, sk = jax.random.split(k)
+        cur, mets = step_auto(cur, frame, bg, sk, **kwa)
+        if prev_m is not None:
+            _ = int(prev_m["overflow_tiles"])
+        prev_m = mets
+    jax.block_until_ready(cur)
+    print(f"{'step autoloop (r5)':24s}: {(time.perf_counter() - t0) / n * 1e3:7.2f} ms", flush=True)
 
 
 def main():

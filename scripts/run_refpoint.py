@@ -1,4 +1,4 @@
-"""The reference operating point on the chip (VERDICT r1 item 3 / r2 #2 / r3 #3).
+"""The reference operating point on the chip (VERDICT r1 item 3 / r2 #2 / r3 #3 / r4 #1).
 
 The reference trains 800x800 scenes with >=100k-gaussian clouds for
 10k node-rendering + 80k full stage-1 iterations and 100k stage-2
@@ -6,23 +6,33 @@ iterations with densification 5k->70k
 (/root/reference/scripts/run_demo.py:20-52,
 /root/reference/arguments/__init__.py:111,167-186). This script runs those
 SHAPES — 800², capacity 131072, real budget schedule constants — for a
-wall-clock-bounded prefix of the iteration budgets and reports:
+wall-clock-bounded prefix (or --full, the whole budget) and reports:
 
   - steady-state ms/iter per phase (median of per-step deltas — compile
     time excluded structurally, not statistically);
   - extrapolated full-budget wall-clock;
-  - peak device memory;
-  - ladder refit count under densification pressure (printed by the loops).
+  - device-memory residency after each stage (jax.live_arrays; the compiled
+    step's true peak incl. temps is measured by `perf_matrix.py step`
+    via memory_analysis — 2.76 GB at 800²/131k, BASELINE.md);
+  - alive-gaussian growth under the real densification cadence;
+  - held-out PSNR/SSIM/MS-SSIM after stage 2;
+  - ladder refit counts (printed by the loops).
 
-Usage (chip session):
-  python scripts/run_refpoint.py                 # ~30 min prefix
-  python scripts/run_refpoint.py --s1a 400 --s1b 1500 --s2 1500   # shorter
-  python scripts/run_refpoint.py --full          # the whole reference budget
+Resumability (r4 verdict #1): the synthetic scene is built once and cached
+to disk; the stage-1 end state is pickled to --out, so a later invocation
+with --resume times stage 2 in its own session; stage-2 checkpoints land
+under --out via train_stage2(model_path=..., resume=True).
 
-Record the output in BASELINE.md. Run alone (memory: tpu-tunnel-wedge).
+Usage (chip session — run FIRST, one TPU process at a time):
+  python scripts/run_refpoint.py                    # ~15-25 min prefix
+  python scripts/run_refpoint.py --resume           # skip finished stages
+  python scripts/run_refpoint.py --full             # whole reference budget
+
+Record the final JSON line in BASELINE.md.
 """
 import argparse
 import json
+import pickle
 import sys
 import time
 from pathlib import Path
@@ -59,38 +69,38 @@ class StepTimer:
         return float(np.median(d) * 1e3) if len(d) > 8 else float("nan")
 
 
-def mem_peak_gb():
-    stats = jax.local_devices()[0].memory_stats() or {}
-    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
-    return round(peak / 2**30, 2) if peak else None  # None on CPU backends
+def mem_live_gb():
+    """Device-resident bytes across live arrays (residency, not peak; the
+    per-step peak incl. temps comes from perf_matrix.py step memory_analysis
+    — axon's memory_stats() returns None, r4 verdict #5)."""
+    return round(sum(a.nbytes for a in jax.live_arrays()) / 2**30, 2)
 
 
-def main():
-    # line-buffer stdout FIRST: a timeout-killed run must still leave every
-    # progress line on disk (block-buffered pipes lose everything)
-    sys.stdout.reconfigure(line_buffering=True)
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=800)
-    ap.add_argument("--capacity", type=int, default=131_072)
-    ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--s1a", type=int, default=800, help="stage-1 node-rendering prefix iters")
-    ap.add_argument("--s1b", type=int, default=3000, help="stage-1 full prefix iters")
-    ap.add_argument("--s2", type=int, default=3000, help="stage-2 prefix iters")
-    ap.add_argument("--full", action="store_true", help="run the whole reference budget")
-    ap.add_argument("--platform", type=str, default=None)
-    args = ap.parse_args()
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.full:
-        args.s1a, args.s1b, args.s2 = REF_S1_NODE, REF_S1_FULL, REF_S2
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
 
+
+def _to_device(tree):
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a: jnp.asarray(a), tree)
+
+
+def get_scene(args, cache_dir: Path):
+    """Build-or-load the 800² synthetic biped scene. The oracle-GT build
+    costs ~230 s of host time at 800²/64f — cached to disk, paid once."""
     from riggs_tpu.data.synthetic import make_scene_data
-    from riggs_tpu.train.config import Config
-    from riggs_tpu.train.stage1 import train_stage1
-    from riggs_tpu.train.stage2 import evaluate_stage2, train_stage2
 
-    # a biped at 800x800 with a dense enough blob cloud to exercise the
-    # >=100k capacity (init cloud 60k random points; densification grows it)
+    tag = f"refpoint_s{args.size}_f{args.frames}"
+    p = cache_dir / f"{tag}.pkl"
+    if p.exists():
+        t0 = time.time()
+        with open(p, "rb") as f:
+            scene = pickle.load(f)
+        scene.train_frames = [_to_device(fr) for fr in scene.train_frames]
+        scene.test_frames = [_to_device(fr) for fr in scene.test_frames]
+        print(f"scene loaded from cache in {time.time() - t0:.0f}s ({p})")
+        return scene
     t0 = time.time()
     n_init = min(60_000, args.capacity // 2)
     pps = 400 if args.size >= 400 else 60  # keep the CPU smoke tiny
@@ -101,6 +111,53 @@ def main():
     )
     print(f"scene built in {time.time() - t0:.0f}s "
           f"({len(scene.train_frames)} train frames at {args.size}^2)")
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    host = type(scene)(
+        train_frames=[_to_host(fr) for fr in scene.train_frames],
+        test_frames=[_to_host(fr) for fr in scene.test_frames],
+        init_points=np.asarray(scene.init_points),
+        init_colors=np.asarray(scene.init_colors),
+        cameras_extent=scene.cameras_extent,
+        is_blender=scene.is_blender,
+        white_background=scene.white_background,
+        train_image_names=scene.train_image_names,
+    )
+    with open(p, "wb") as f:
+        pickle.dump(host, f, protocol=4)
+    print(f"scene cached to {p}")
+    return scene
+
+
+def main():
+    # line-buffer stdout FIRST: a timeout-killed run must still leave every
+    # progress line on disk (block-buffered pipes lose everything)
+    sys.stdout.reconfigure(line_buffering=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--capacity", type=int, default=131_072)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--s1a", type=int, default=800, help="stage-1 node-rendering prefix iters")
+    ap.add_argument("--s1b", type=int, default=3000, help="stage-1 full prefix iters")
+    ap.add_argument("--s2", type=int, default=3000, help="stage-2 prefix iters")
+    ap.add_argument("--full", action="store_true", help="run the whole reference budget")
+    ap.add_argument("--resume", action="store_true", help="reuse finished stages from --out")
+    ap.add_argument("--out", type=str, default=str(Path(__file__).parent.parent / ".refpoint"))
+    ap.add_argument("--test_every", type=int, default=5000,
+                    help="stage-2 held-out eval + checkpoint cadence")
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.full:
+        args.s1a, args.s1b, args.s2 = REF_S1_NODE, REF_S1_FULL, REF_S2
+
+    from riggs_tpu.train.config import Config
+    from riggs_tpu.train.stage1 import train_stage1
+    from riggs_tpu.train.stage2 import evaluate_stage2, train_stage2
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    scene = get_scene(args, out.parent / ".scene_cache")
 
     cfg = Config()
     cfg.model.capacity = args.capacity
@@ -120,30 +177,50 @@ def main():
     o.skeleton_warm_up = min(1_000, max(args.s2 // 10, 50))
     o.optimize_template_offsets_iters = min(15_000, max(args.s2 // 3, 100))
 
-    report = {"size": args.size, "capacity": args.capacity}
+    report = {"size": args.size, "capacity": args.capacity, "frames": args.frames}
+    s1_ckpt = out / "stage1_state.pkl"
+    s1_json = out / "stage1_report.json"
 
-    t1 = StepTimer()
-    t0 = time.time()
-    s1, hist1 = train_stage1(scene, cfg, log_every=500, step_callback=t1)
-    s1_wall = time.time() - t0
-    report["s1_prefix_iters"] = args.s1a + args.s1b
-    report["s1_wall_s"] = round(s1_wall, 1)
-    report["s1_ms_per_iter"] = round(t1.ms_per_iter(), 2)
-    report["mem_peak_gb_after_s1"] = mem_peak_gb()
-    n_gs = int(np.sum(np.asarray(s1.gs.alive)))
-    report["s1_alive_gaussians"] = n_gs
-    print(f"stage 1 prefix: {s1_wall:.0f}s, {report['s1_ms_per_iter']} ms/iter "
-          f"steady, {n_gs} alive gaussians, peak {report['mem_peak_gb_after_s1']} GB")
-    print("PARTIAL " + json.dumps(report))  # survives a timeout mid-stage-2
+    if args.resume and s1_ckpt.exists():
+        t0 = time.time()
+        with open(s1_ckpt, "rb") as f:
+            s1 = _to_device(pickle.load(f))
+        report.update(json.loads(s1_json.read_text()))
+        print(f"stage-1 state resumed in {time.time() - t0:.0f}s "
+              f"({report.get('s1_alive_gaussians')} alive gaussians)")
+    else:
+        t1 = StepTimer()
+        t0 = time.time()
+        s1, hist1 = train_stage1(scene, cfg, log_every=500, step_callback=t1)
+        s1_wall = time.time() - t0
+        s1_part = {
+            "s1_prefix_iters": args.s1a + args.s1b,
+            "s1_wall_s": round(s1_wall, 1),
+            "s1_ms_per_iter": round(t1.ms_per_iter(), 2),
+            "mem_live_gb_after_s1": mem_live_gb(),
+            "s1_alive_gaussians": int(np.sum(np.asarray(s1.gs.alive))),
+        }
+        report.update(s1_part)
+        print(f"stage 1 prefix: {s1_wall:.0f}s, {report['s1_ms_per_iter']} ms/iter "
+              f"steady, {report['s1_alive_gaussians']} alive gaussians, "
+              f"live {report['mem_live_gb_after_s1']} GB")
+        print("PARTIAL " + json.dumps(report))  # survives a timeout mid-stage-2
+        with open(s1_ckpt, "wb") as f:
+            pickle.dump(_to_host(s1), f, protocol=4)
+        s1_json.write_text(json.dumps(s1_part))
+        print(f"stage-1 state checkpointed to {s1_ckpt}")
 
     t2 = StepTimer()
     t0 = time.time()
-    s2, info, hist2 = train_stage2(s1, scene, cfg, log_every=500, step_callback=t2)
+    s2, info, hist2 = train_stage2(
+        s1, scene, cfg, log_every=500, step_callback=t2,
+        test_every=args.test_every, model_path=str(out), resume=args.resume,
+    )
     s2_wall = time.time() - t0
-    report["s2_prefix_iters"] = args.s2 if not args.full else REF_S2
+    report["s2_prefix_iters"] = args.s2
     report["s2_wall_s"] = round(s2_wall, 1)
     report["s2_ms_per_iter"] = round(t2.ms_per_iter(), 2)
-    report["mem_peak_gb_after_s2"] = mem_peak_gb()
+    report["mem_live_gb_after_s2"] = mem_live_gb()
     report["joints"] = int(len(info.joints))
     import jax.numpy as jnp
 
@@ -159,6 +236,7 @@ def main():
     ) / 1e3
     report["extrapolated_full_budget_hours"] = round(full_s / 3600, 2)
     print(json.dumps(report))
+    (out / "report.json").write_text(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":
