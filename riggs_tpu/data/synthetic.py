@@ -292,7 +292,11 @@ def make_scene_data(
     train = build_frames(train_fids)
     test = build_frames(test_fids, cam_offset=3)
 
-    sel = rng.choice(len(fig.points), min(n_init_points, len(fig.points)), replace=False)
+    # honor the REQUESTED cloud size: upsample with replacement when the
+    # figure has fewer surface points (the 0.02 jitter de-duplicates) — the
+    # reference operating point needs >=60k-gaussian init clouds and the
+    # biped figure only has ~4k surface samples (round-5 refpoint finding)
+    sel = rng.choice(len(fig.points), n_init_points, replace=len(fig.points) < n_init_points)
     init_pts = fig.points[sel] + rng.normal(size=(len(sel), 3)).astype(np.float32) * 0.02
     scene = SceneData(
         train_frames=train,

@@ -141,6 +141,25 @@ class LadderPolicy:
                 return True
         return False
 
+    def anticipate(self, growth_ratio: float) -> bool:
+        """Pre-scale the envelope after a densification event so ONE refit
+        rides ahead of the growth, instead of overflow-triggered refit churn
+        (each refit is a new jit specialization — minutes on the axon
+        remote-compile path; round-5 refpoint finding). growth_ratio is the
+        alive-count ratio after/before the event; counts scale with alive
+        density to first order and ``margin`` absorbs the remainder (an
+        overflow-triggered refit still backstops any underestimate).
+        Returns True when the ladder changed."""
+        if self.env is None or growth_ratio <= 1.0:
+            return False
+        self.env = self.env * float(growth_ratio)
+        old = self.ladder
+        self._fit()
+        if self.ladder != old:
+            self.refits += 1
+            return True
+        return False
+
     def _fit(self):
         self.ladder = make_tile_ladder(
             self.env, n_buckets=self.n_buckets, margin=self.margin,

@@ -969,6 +969,13 @@ def train_stage1(
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
             densified_at = it
+            if ladder_pol is not None and ladder_pol.ladder is not None:
+                # ride ahead of the growth: one anticipatory refit instead of
+                # overflow-triggered churn (each refit recompiles the step)
+                before = float(metrics["n_gs"])
+                after = float(st.gs.num_alive)
+                if before > 0 and after > before:
+                    ladder_pol.anticipate(after / before)
         if it > 0 and it % o.opacity_reset_interval == 0:
             gs = G.reset_opacity(state.gs)
             opt = O.AdamState(

@@ -615,6 +615,12 @@ def train_stage2(
             )
             state = dataclasses.replace(state, gs=st.gs, opt_gs=st.opt, stats_gs=st.stats)
             densified_at = it
+            if ladder_pol is not None and ladder_pol.ladder is not None:
+                # anticipatory refit after growth (see train_stage1)
+                before = float(metrics["n_gs"])
+                after = float(st.gs.num_alive)
+                if before > 0 and after > before:
+                    ladder_pol.anticipate(after / before)
         if log_every and it % log_every == 0:
             m = {k: float(v) for k, v in metrics.items() if getattr(v, "ndim", 0) == 0}
             history.append((it, m))
