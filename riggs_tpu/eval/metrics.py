@@ -39,8 +39,9 @@ def _ssim_cs(img1, img2, window_size=11):
     mu1 = _depthwise_conv_same(img1, window_size)
     mu2 = _depthwise_conv_same(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_conv_same(img1 * img1, window_size) - mu1_sq
-    s2 = _depthwise_conv_same(img2 * img2, window_size) - mu2_sq
+    # variance clamp: see train.losses.ssim (f32 cancellation on HDR pixels)
+    s1 = jnp.maximum(_depthwise_conv_same(img1 * img1, window_size) - mu1_sq, 0.0)
+    s2 = jnp.maximum(_depthwise_conv_same(img2 * img2, window_size) - mu2_sq, 0.0)
     s12 = _depthwise_conv_same(img1 * img2, window_size) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     cs = (2 * s12 + C2) / (s1 + s2 + C2)

@@ -28,6 +28,7 @@ def make_tile_ladder(
     margin: float = 1.3,
     min_cap: int = CHUNK,
     max_cap: int | None = None,
+    quantize: str = "chunk",
 ) -> tuple[tuple[int, int], ...]:
     """Build a ``tile_ladder`` from per-tile hit counts.
 
@@ -47,7 +48,19 @@ def make_tile_ladder(
         c = c[None, :]
     T = c.shape[1]
     env = np.sort(c, axis=1)[:, ::-1].max(axis=0)  # (T,) rank envelope
-    need = np.maximum(np.ceil(env * margin / CHUNK).astype(int) * CHUNK, min_cap)
+    if quantize == "pow2":
+        # power-of-two-of-CHUNK caps: a growing envelope only changes the
+        # ladder when a bucket crosses a pow2 boundary, and the same tuples
+        # recur across refits/runs so the persistent compile cache absorbs
+        # them. The price is <= 2x bucket area vs CHUNK-exact — the right
+        # trade for TRAINING loops, where every distinct ladder is a fresh
+        # multi-minute remote compile (round-5 refpoint: 17 refit compiles
+        # dominated stage-1 wall). Benches with one static fit keep "chunk".
+        need = np.maximum(env * margin, min_cap)
+        need = CHUNK * 2 ** np.ceil(np.log2(np.maximum(need / CHUNK, 1.0))).astype(int)
+        need = need.astype(int)
+    else:
+        need = np.maximum(np.ceil(env * margin / CHUNK).astype(int) * CHUNK, min_cap)
     if max_cap is not None:
         need = np.minimum(need, max_cap)
     # need is non-increasing along ranks; a bucket [a, b) must use cap need[a].
@@ -103,15 +116,21 @@ class LadderPolicy:
         self,
         n_buckets: int = 4,
         margin: float = 1.3,
-        n_probe: int = 3,
+        n_probe: int = 12,
         min_cap: int = CHUNK,
         max_cap: int | None = None,
+        quantize: str = "pow2",
     ):
+        # n_probe default 12: with per-frame count variation (e.g. 64-frame
+        # scenes) a 3-step probe undersamples the envelope and the first
+        # training frames each trigger an overflow refit (round-5 refpoint:
+        # each refit is a multi-minute remote compile)
         self.n_buckets = n_buckets
         self.margin = margin
         self.n_probe = n_probe
         self.min_cap = min_cap
         self.max_cap = max_cap
+        self.quantize = quantize
         self.env = None  # (T,) rank-sorted count envelope
         self.seen = 0
         self.ladder: tuple | None = None
@@ -163,5 +182,5 @@ class LadderPolicy:
     def _fit(self):
         self.ladder = make_tile_ladder(
             self.env, n_buckets=self.n_buckets, margin=self.margin,
-            min_cap=self.min_cap, max_cap=self.max_cap,
+            min_cap=self.min_cap, max_cap=self.max_cap, quantize=self.quantize,
         )

@@ -72,8 +72,15 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     mu1 = _depthwise_conv_same(img1, window_size)
     mu2 = _depthwise_conv_same(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_conv_same(img1 * img1, window_size) - mu1_sq
-    s2 = _depthwise_conv_same(img2 * img2, window_size) - mu2_sq
+    # E[x^2] - mu^2 cancels catastrophically in f32 when the render contains
+    # large HDR transients (post-clone/opacity-reset pixels >> 1): variances
+    # land NEGATIVE at magnitudes >> C2 and the ratio of two negatives pushes
+    # SSIM past 1 (observed as a negative total loss in the round-5 refpoint
+    # run; the reference's torch SSIM has the identical hazard, merely
+    # unobserved). Clamp variances at 0 — exact in exact arithmetic, inert on
+    # in-range images.
+    s1 = jnp.maximum(_depthwise_conv_same(img1 * img1, window_size) - mu1_sq, 0.0)
+    s2 = jnp.maximum(_depthwise_conv_same(img2 * img2, window_size) - mu2_sq, 0.0)
     s12 = _depthwise_conv_same(img1 * img2, window_size) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
