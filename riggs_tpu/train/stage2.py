@@ -448,9 +448,11 @@ def make_stage2_auto(cfg: Config, template_idx: int):
     return step
 
 
-@partial(jax.jit, static_argnames=("max_per_tile", "max_tiles_per_gaussian"))
-def _eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16):
+@partial(jax.jit, static_argnames=("max_per_tile", "max_tiles_per_gaussian", "tile_ladder", "tiers"))
+def _eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16,
+                tile_ladder=None, tiers=None):
     d = SW.skeleton_forward(skel, gs.xyz, t, gs.motion_mask)
+    kw = dict(max_tiles_per_gaussian=max_tiles_per_gaussian) if tiers is None else tier_kwargs(tiers)
     out = render(
         cam,
         gs,
@@ -460,12 +462,14 @@ def _eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=1
         d_scaling=jnp.zeros_like(d["d_scaling"]),
         active_sh_degree=gs.max_sh_degree,
         max_per_tile=max_per_tile,
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        tile_ladder=tile_ladder,
+        **kw,
     )
     return out["render"], out["overflow_tiles"], out["overflow_rect"], out["max_count"]
 
 
-def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16):
+def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16,
+               tile_ladder=None, tiers=None):
     """Held-out render with capacity escalation: dense scenes that exceed the
     per-tile or per-gaussian caps are re-rendered with the offending cap
     raised, so quality is never measured on a silently truncated image
@@ -475,10 +479,18 @@ def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16
     per program at 800p)."""
     while True:
         img, of_t, of_r, max_count = _eval_image(
-            gs, skel, cam, t, bg, max_per_tile, max_tiles_per_gaussian
+            gs, skel, cam, t, bg, max_per_tile, max_tiles_per_gaussian,
+            tile_ladder=tile_ladder, tiers=tiers,
         )
         if int(of_t) == 0 and int(of_r) == 0:
             return img
+        if tile_ladder is not None:
+            # the training ladder truncated a held-out view: drop it and let
+            # the cap escalation below take over (rare; dense-scene evals
+            # reuse the fitted ladder instead of compiling multi-GB
+            # full-cap windows — round-5 refpoint finding)
+            tile_ladder = None
+            continue
         if max_per_tile >= 8192 and max_tiles_per_gaussian >= 1024:
             return img
         if int(of_t) > 0:
@@ -488,14 +500,17 @@ def eval_image(gs, skel, cam, t, bg, max_per_tile=512, max_tiles_per_gaussian=16
             max_tiles_per_gaussian = min(max_tiles_per_gaussian * 4, 1024)
 
 
-def evaluate_stage2(state: Stage2State, test_frames, bg) -> dict:
+def evaluate_stage2(state: Stage2State, test_frames, bg, tile_ladder=None, tiers=None) -> dict:
     """Held-out metric bundle over the test split (skeleton_training_report,
-    /root/reference/train_utils.py:151-243)."""
+    /root/reference/train_utils.py:151-243). Pass the training loop's fitted
+    ``tile_ladder`` (+ tiers) on dense scenes: the plain-window escalation
+    path otherwise compiles full-cap windows per escalation step."""
     from riggs_tpu.eval.metrics import evaluate_image
 
     rows = []
     for f in test_frames:
-        img = eval_image(state.gs, state.skel, f.cam, f.fid, bg)
+        img = eval_image(state.gs, state.skel, f.cam, f.fid, bg,
+                         tile_ladder=tile_ladder, tiers=tiers)
         rows.append(evaluate_image(img, f.image))
     return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} if rows else {}
 
@@ -631,7 +646,11 @@ def train_stage2(
                 + (" (warm)" if warm else "")
             )
         if test_every and it > 0 and it % test_every == 0 and scene.test_frames:
-            means = evaluate_stage2(state, scene.test_frames, bg)
+            means = evaluate_stage2(
+                state, scene.test_frames, bg,
+                tile_ladder=ladder_pol.ladder if ladder_pol is not None else None,
+                tiers=(cfg.pipe.max_tiles_per_gaussian, cfg.pipe.mid_cap, cfg.pipe.mid_side),
+            )
             print("[S2 %d] test: " % it + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
             if logger is not None:
                 logger.scalars(it, "test", means)

@@ -224,7 +224,28 @@ def main():
     report["joints"] = int(len(info.joints))
     import jax.numpy as jnp
 
-    ev = evaluate_stage2(s2, scene.test_frames, jnp.zeros(3))
+    # probe-fit an eval ladder: one plain-window render's TRUE tile counts
+    # (pre-truncation) -> pow2 ladder; without it the eval escalation path
+    # compiles multi-GB full-cap windows on dense scenes (round-5 finding)
+    pipe = cfg.pipe
+    tiers = (pipe.max_tiles_per_gaussian, pipe.mid_cap, pipe.mid_side)
+    from riggs_tpu.models import skeleton_warp as SW
+    from riggs_tpu.render.api import render as _render, tier_kwargs
+    from riggs_tpu.render.ladder import make_tile_ladder
+
+    f0 = scene.test_frames[0]
+    d0 = SW.skeleton_forward(s2.skel, s2.gs.xyz, f0.fid, s2.gs.motion_mask)
+    probe = _render(
+        f0.cam, s2.gs, jnp.zeros(3), d_xyz=d0["d_xyz"], d_rotation=d0["d_rotation"],
+        active_sh_degree=s2.gs.max_sh_degree, max_per_tile=cfg.pipe.max_per_tile,
+        **tier_kwargs(tiers),
+    )
+    eval_ladder = make_tile_ladder(
+        np.asarray(probe["tile_counts"]), margin=1.5, quantize="pow2"
+    )
+    ev = evaluate_stage2(
+        s2, scene.test_frames, jnp.zeros(3), tile_ladder=eval_ladder, tiers=tiers,
+    )
     report["test"] = {k: round(float(v), 3) for k, v in ev.items()}
     print(f"stage 2 prefix: {s2_wall:.0f}s, {report['s2_ms_per_iter']} ms/iter, "
           f"J={report['joints']}, test={report['test']}")
